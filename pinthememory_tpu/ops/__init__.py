@@ -1,0 +1,6 @@
+from pinthememory_tpu.ops.resize import (  # noqa: F401
+    resize_bilinear_align_corners,
+    resize_nearest,
+    upsample,
+)
+from pinthememory_tpu.ops.pool import global_avg_pool, max_pool_3x3_s2  # noqa: F401

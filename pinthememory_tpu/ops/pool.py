@@ -1,0 +1,27 @@
+"""Pooling primitives with torch-compatible geometry (NHWC)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def max_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:
+    """``nn.MaxPool2d(kernel_size=3, stride=2, padding=1)`` on NHWC input.
+
+    Used by every ResNet stem (reference: network/Resnet.py:254,316).
+    """
+    neg_inf = jnp.asarray(-jnp.inf, x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return jax.lax.reduce_window(
+        x,
+        neg_inf,
+        jax.lax.max,
+        window_dimensions=(1, 3, 3, 1),
+        window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+
+
+def global_avg_pool(x: jnp.ndarray) -> jnp.ndarray:
+    """``nn.AdaptiveAvgPool2d(1)``: (B,H,W,C) -> (B,1,1,C)."""
+    return jnp.mean(x, axis=(1, 2), keepdims=True)

@@ -1,0 +1,114 @@
+"""TPU-native image resizing with PyTorch-compatible semantics.
+
+The reference leans on ``F.interpolate(..., mode='bilinear',
+align_corners=True)`` in four numerically load-bearing places (network/mynn.py
+:57-62, network/memory.py:175,223, eval.py resize path) and
+``mode='nearest'`` for aux labels (network/deepv3plus.py:593).
+``jax.image.resize`` implements half-pixel-center sampling only, so we build
+the align-corners variant ourselves -- as a *separable dense interpolation
+matrix* applied with einsum.  For static shapes the (out, in) matrices are
+computed once at trace time in numpy, and the gather-free matmul formulation
+rides the MXU instead of scalarizing into VPU gathers.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=256)
+def _linear_matrix_align_corners(in_size: int, out_size: int) -> np.ndarray:
+    """(out, in) interpolation matrix for align_corners=True linear sampling.
+
+    Output sample i reads source coordinate ``i * (in-1)/(out-1)`` (torch
+    align_corners convention); rows are convex weights over the two nearest
+    source samples.
+    """
+    a = np.zeros((out_size, in_size), dtype=np.float32)
+    if out_size == 1 or in_size == 1:
+        a[:, 0] = 1.0
+        return a
+    scale = (in_size - 1) / (out_size - 1)
+    coords = np.arange(out_size, dtype=np.float64) * scale
+    lo = np.floor(coords).astype(np.int64)
+    lo = np.clip(lo, 0, in_size - 1)
+    hi = np.clip(lo + 1, 0, in_size - 1)
+    frac = (coords - lo).astype(np.float32)
+    rows = np.arange(out_size)
+    a[rows, lo] += 1.0 - frac
+    a[rows, hi] += frac
+    return a
+
+
+@functools.lru_cache(maxsize=256)
+def _nearest_index(in_size: int, out_size: int) -> np.ndarray:
+    """torch ``mode='nearest'`` source index: floor(i * in/out)."""
+    scale = in_size / out_size
+    idx = np.floor(np.arange(out_size, dtype=np.float64) * scale).astype(np.int64)
+    return np.clip(idx, 0, in_size - 1)
+
+
+def resize_bilinear_align_corners(
+    x: jnp.ndarray, out_hw: tuple[int, int]
+) -> jnp.ndarray:
+    """Bilinear align_corners=True resize of an NHWC (or HWC) tensor.
+
+    Equivalent to ``F.interpolate(x_nchw, size, mode='bilinear',
+    align_corners=True)`` but formulated as two dense matmuls so XLA maps it
+    onto the MXU and fuses it with neighboring ops.
+    """
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    _, h, w, _ = x.shape
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return x[0] if squeeze else x
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    # HIGHEST precision keeps the interpolation in true f32 on TPU (the MXU
+    # default would round operands to bf16, which is visible at mIoU level).
+    hp = jax.lax.Precision.HIGHEST
+    if h != oh:
+        ah = jnp.asarray(_linear_matrix_align_corners(h, oh))
+        xf = jnp.einsum("oh,bhwc->bowc", ah, xf, precision=hp)
+    if w != ow:
+        aw = jnp.asarray(_linear_matrix_align_corners(w, ow))
+        xf = jnp.einsum("ow,bhwc->bhoc", aw, xf, precision=hp)
+    out = xf.astype(dtype)
+    return out[0] if squeeze else out
+
+
+def resize_nearest(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """Nearest-neighbor resize matching torch ``mode='nearest'`` indexing."""
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    _, h, w, _ = x.shape
+    oh, ow = out_hw
+    if (h, w) != (oh, ow):
+        if h != oh:
+            x = jnp.take(x, jnp.asarray(_nearest_index(h, oh)), axis=1)
+        if w != ow:
+            x = jnp.take(x, jnp.asarray(_nearest_index(w, ow)), axis=2)
+    return x[0] if squeeze else x
+
+
+def upsample(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """Drop-in for the reference's ``mynn.Upsample`` (network/mynn.py:57-62)."""
+    return resize_bilinear_align_corners(x, out_hw)
+
+
+def resize_labels_nearest(labels: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """Nearest resize for integer (B, H, W) label maps.
+
+    Matches the aux-label path (network/deepv3plus.py:592-594): labels are
+    cast to float, nearest-resized, cast back -- indexing is what matters.
+    """
+    x = labels[..., None]
+    out = resize_nearest(x, out_hw)
+    return out[..., 0]

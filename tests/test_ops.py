@@ -1,0 +1,67 @@
+"""Numerics parity for ops: resize / pooling vs. PyTorch golden behavior.
+
+These ops gate checkpoint parity (SURVEY.md §7 hard part #1): bilinear
+align_corners=True appears at 4 places in the reference forward pass.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from pinthememory_tpu.ops import (
+    max_pool_3x3_s2,
+    resize_bilinear_align_corners,
+    resize_nearest,
+)
+from pinthememory_tpu.ops.resize import resize_labels_nearest
+
+
+@pytest.mark.parametrize(
+    "in_hw,out_hw",
+    [((7, 9), (14, 18)), ((48, 48), (192, 192)), ((33, 17), (8, 5)),
+     ((4, 4), (1, 1)), ((1, 1), (5, 7)), ((10, 10), (10, 10))],
+)
+def test_bilinear_align_corners_matches_torch(in_hw, out_hw):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, *in_hw, 3), dtype=np.float32)
+    ours = resize_bilinear_align_corners(jnp.asarray(x), out_hw)
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    ref = F.interpolate(xt, size=out_hw, mode="bilinear", align_corners=True)
+    ref = ref.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "in_hw,out_hw",
+    [((7, 9), (14, 18)), ((48, 48), (12, 12)), ((33, 17), (8, 5))],
+)
+def test_nearest_matches_torch(in_hw, out_hw):
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, *in_hw, 3), dtype=np.float32)
+    ours = resize_nearest(jnp.asarray(x), out_hw)
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    ref = F.interpolate(xt, size=out_hw, mode="nearest")
+    ref = ref.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=0, atol=0)
+
+
+def test_label_nearest_resize():
+    labels = np.arange(64, dtype=np.int32).reshape(1, 8, 8) % 19
+    out = resize_labels_nearest(jnp.asarray(labels), (4, 4))
+    lt = torch.from_numpy(labels).unsqueeze(1).float()
+    ref = F.interpolate(lt, size=(4, 4), mode="nearest").squeeze(1).long().numpy()
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+@pytest.mark.parametrize("hw", [(8, 8), (383, 129), (100, 100)])
+def test_maxpool_matches_torch(hw):
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, *hw, 4), dtype=np.float32)
+    ours = max_pool_3x3_s2(jnp.asarray(x))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    ref = F.max_pool2d(xt, kernel_size=3, stride=2, padding=1)
+    ref = ref.permute(0, 2, 3, 1).numpy()
+    assert np.asarray(ours).shape == ref.shape
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=0, atol=0)
