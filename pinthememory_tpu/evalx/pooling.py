@@ -1,0 +1,75 @@
+"""Pooled (whole-image) inference with running softmax-mean fusion.
+
+Reference: eval.py:133-146 (MeanFusion) + 277-337 (inference_pool /
+pooled_eval).  Per (flip, scale): whole-image forward, bilinear
+(align_corners=False, eval.py:282) resize of the logits to the scale-1.0
+size, softmax, running mean; prediction = argmax of the fused mean.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pinthememory_tpu.evalx.sliding import normalize_image
+from pinthememory_tpu.ops.resize import (
+    resize_bilinear_half_pixel,
+    resize_pil_bilinear,
+)
+
+
+class PoolingEvaluator:
+    def __init__(
+        self,
+        apply_fn: Callable[[jnp.ndarray], jnp.ndarray],
+        num_classes: int = 19,
+        scales: Sequence[float] = (1.0,),
+        flip: bool = True,
+    ):
+        self.apply_fn = apply_fn
+        self.num_classes = num_classes
+        self.scales = tuple(scales)
+        self.flip = flip
+        self._programs: dict = {}
+
+    def _program(self, img_h: int, img_w: int, scale: float):
+        key = (img_h, img_w, scale)
+        if key in self._programs:
+            return self._programs[key]
+        sh, sw = int(img_h * scale), int(img_w * scale)
+
+        @jax.jit
+        def run(raw_img: jnp.ndarray, do_flip: jnp.ndarray):
+            img = resize_pil_bilinear(raw_img.astype(jnp.float32), (sh, sw))
+            img = jnp.where(do_flip, img[:, ::-1, :], img)
+            img = normalize_image(img)
+            logits = self.apply_fn(img[None])[0]
+            logits = resize_bilinear_half_pixel(
+                logits.astype(jnp.float32), (img_h, img_w)
+            )
+            probs = jax.nn.softmax(logits, axis=-1)
+            return jnp.where(do_flip, probs[:, ::-1, :], probs)
+
+        self._programs[key] = run
+        return run
+
+    def predict_probs(self, raw_img) -> jnp.ndarray:
+        img_h, img_w = raw_img.shape[:2]
+        raw = jnp.asarray(raw_img)
+        acc = None
+        n = 0
+        for scale in self.scales:
+            run = self._program(img_h, img_w, scale)
+            for f in ((False, True) if self.flip else (False,)):
+                p = run(raw, jnp.asarray(f))
+                acc = p if acc is None else acc + p
+                n += 1
+        return acc / n
+
+    def predict(self, raw_img) -> np.ndarray:
+        return np.asarray(
+            jnp.argmax(self.predict_probs(raw_img), axis=-1).astype(jnp.int32)
+        )

@@ -1,0 +1,120 @@
+"""Multi-scale + flip sliding-window inference as jitted tensor programs.
+
+Reference: eval.py:340-405 (``inference_sliding``) + the CPU merge threads
+(eval.py:210-274).  The reference protocol, preserved bit-for-bit in
+structure:
+
+  per scale s:
+    image' = PIL-BILINEAR resize to (H*s, W*s)      [antialiased]
+    normalize (ImageNet mean/std)
+    tiles   = overlap grid of (crop*max(s,1))^2 crops
+    logits  = model(tile)[main_out]  (raw logits, NOT softmax)
+    merged  = overlap-averaged logits at (H*s, W*s)
+    for the flipped copy: flip back
+    out_s   = mean over flips of cv2-INTER_LINEAR resize to (H, W)
+  prediction = argmax(mean over scales of out_s)
+
+Everything after the host image load runs on device in one jitted function
+per (image size, scale) pair; tiles are batched through the model rather
+than looped (the reference loops per crop unless --faster, eval.py:379-390).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pinthememory_tpu.evalx.tiling import compute_grid, extract_tiles, merge_tiles
+from pinthememory_tpu.ops.resize import (
+    resize_bilinear_half_pixel,
+    resize_pil_bilinear,
+)
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def normalize_image(img: jnp.ndarray) -> jnp.ndarray:
+    """uint8/float [0,255] HWC -> normalized float (ToTensor + Normalize)."""
+    img = img.astype(jnp.float32) / 255.0
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    return (img - mean) / std
+
+
+class SlidingEvaluator:
+    """Jit-compiled sliding-window evaluator.
+
+    ``apply_fn(images_nhwc) -> logits_nhwc`` is the model forward (already
+    closed over params/memory).  One XLA program is compiled per
+    (image size, scale, flip) -- 6 programs for the standard protocol.
+    """
+
+    def __init__(
+        self,
+        apply_fn: Callable[[jnp.ndarray], jnp.ndarray],
+        num_classes: int = 19,
+        crop_size: int = 768,
+        overlap: float = 1.0 / 3.0,
+        scales: Sequence[float] = (0.5, 1.0, 2.0),
+        flip: bool = True,
+        tile_batch: int = 0,
+    ):
+        self.apply_fn = apply_fn
+        self.num_classes = num_classes
+        self.crop_size = crop_size
+        self.overlap = overlap
+        self.scales = tuple(scales)
+        self.flip = flip
+        self.tile_batch = tile_batch
+        self._programs: dict = {}
+
+    def _scale_program(self, img_h: int, img_w: int, scale: float):
+        key = (img_h, img_w, scale)
+        if key in self._programs:
+            return self._programs[key]
+
+        sh, sw = int(img_h * scale), int(img_w * scale)
+        grid = compute_grid(sh, sw, self.crop_size, scale, self.overlap)
+
+        @jax.jit
+        def run(raw_img: jnp.ndarray, do_flip: jnp.ndarray):
+            # raw_img: (H, W, 3) uint8/float [0..255] original resolution
+            img = resize_pil_bilinear(raw_img.astype(jnp.float32), (sh, sw))
+            img = jnp.where(do_flip, img[:, ::-1, :], img)
+            img = normalize_image(img)
+            tiles = extract_tiles(img, grid)
+            logits = self.apply_fn(tiles)  # (T, th, tw, C)
+            merged = merge_tiles(logits.astype(jnp.float32), grid)
+            merged = jnp.where(do_flip, merged[:, ::-1, :], merged)
+            return resize_bilinear_half_pixel(merged, (img_h, img_w))
+
+        self._programs[key] = run
+        return run
+
+    def predict_logits(self, raw_img) -> jnp.ndarray:
+        """Mean-of-logits over scales and flips at original resolution."""
+        img_h, img_w = raw_img.shape[:2]
+        raw = jnp.asarray(raw_img)
+        acc = None
+        n = 0
+        for scale in self.scales:
+            run = self._scale_program(img_h, img_w, scale)
+            flips = (False, True) if self.flip else (False,)
+            per_scale = None
+            for f in flips:
+                out = run(raw, jnp.asarray(f))
+                per_scale = out if per_scale is None else per_scale + out
+            per_scale = per_scale / len(flips)
+            acc = per_scale if acc is None else acc + per_scale
+            n += 1
+        return acc / n
+
+    def predict(self, raw_img) -> np.ndarray:
+        """(H, W) int32 class prediction."""
+        logits = self.predict_logits(raw_img)
+        return np.asarray(jnp.argmax(logits, axis=-1).astype(jnp.int32))

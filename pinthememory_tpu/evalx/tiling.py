@@ -1,0 +1,109 @@
+"""Sliding-window tile geometry and jitted extract/merge.
+
+Reference: eval.py:148-274.  The reference crops tiles in a Python loop,
+runs the model per crop, then merges on CPU with threads; here the tile grid
+is computed once per (image size, scale) on the host (same arithmetic), and
+extraction + overlap-average merge are jitted tensor programs.
+
+Geometry notes (must match the reference exactly):
+- tile size = crop_size * max(scale, 1.0) (eval.py:153-155);
+- stride = ceil(tile * (1 - overlap)) (eval.py:160);
+- rows iterate over *width*, cols over *height* (eval.py:162-165);
+- edge tiles are back-shifted to end at the border, clamped at 0; when the
+  image is smaller than the tile, the tile truncates to the image
+  (eval.py:166-175 + shape-fix at eval.py:221-223).
+"""
+
+from __future__ import annotations
+
+import functools
+from math import ceil
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class TileGrid(NamedTuple):
+    coords: tuple[tuple[int, int], ...]  # (y1, x1) per tile
+    tile_h: int
+    tile_w: int
+    img_h: int
+    img_w: int
+
+    @property
+    def num_tiles(self) -> int:
+        return len(self.coords)
+
+
+@functools.lru_cache(maxsize=256)
+def compute_grid(
+    img_h: int, img_w: int, crop_size: int, scale: float, overlap: float
+) -> TileGrid:
+    """Tile coordinates for one image at one scale (eval.py:148-194)."""
+    eff_scale = max(scale, 1.0)
+    tile = int(crop_size * eff_scale)
+    tile_h = min(tile, img_h)
+    tile_w = min(tile, img_w)
+    stride = ceil(tile * (1 - overlap))
+
+    tile_rows = int(ceil(max(img_w - tile, 0) / stride) + 1)
+    tile_cols = int(ceil(max(img_h - tile, 0) / stride) + 1)
+    coords = []
+    for row in range(tile_rows):
+        for col in range(tile_cols):
+            y1 = col * stride
+            x1 = row * stride
+            x2 = min(x1 + tile, img_w)
+            y2 = min(y1 + tile, img_h)
+            x1 = max(x2 - tile, 0)
+            y1 = max(y2 - tile, 0)
+            coords.append((y1, x1))
+    return TileGrid(tuple(coords), tile_h, tile_w, img_h, img_w)
+
+
+def extract_tiles(img: jnp.ndarray, grid: TileGrid) -> jnp.ndarray:
+    """(H, W, C) -> (T, th, tw, C) via vmapped dynamic_slice."""
+    ys = jnp.array([c[0] for c in grid.coords], jnp.int32)
+    xs = jnp.array([c[1] for c in grid.coords], jnp.int32)
+    c = img.shape[-1]
+
+    def one(y, x):
+        return jax.lax.dynamic_slice(img, (y, x, 0), (grid.tile_h, grid.tile_w, c))
+
+    return jax.vmap(one)(ys, xs)
+
+
+def merge_tiles(tiles: jnp.ndarray, grid: TileGrid) -> jnp.ndarray:
+    """Overlap-average merge: (T, th, tw, C) -> (H, W, C).
+
+    Equivalent to the reference's scatter-add + count division
+    (eval.py:216-229), expressed as a scan of dynamic_update_slice adds so
+    XLA emits in-place updates on device.
+    """
+    c = tiles.shape[-1]
+    ys = jnp.array([g[0] for g in grid.coords], jnp.int32)
+    xs = jnp.array([g[1] for g in grid.coords], jnp.int32)
+
+    full = jnp.zeros((grid.img_h, grid.img_w, c), tiles.dtype)
+    count = jnp.zeros((grid.img_h, grid.img_w, 1), tiles.dtype)
+    ones = jnp.ones((grid.tile_h, grid.tile_w, 1), tiles.dtype)
+
+    def body(carry, inp):
+        full, count = carry
+        tile, y, x = inp
+        patch = jax.lax.dynamic_slice(full, (y, x, 0), (grid.tile_h, grid.tile_w, c))
+        full = jax.lax.dynamic_update_slice(full, patch + tile, (y, x, 0))
+        cpatch = jax.lax.dynamic_slice(count, (y, x, 0), (grid.tile_h, grid.tile_w, 1))
+        count = jax.lax.dynamic_update_slice(count, cpatch + ones, (y, x, 0))
+        return (full, count), None
+
+    (full, count), _ = jax.lax.scan(body, (full, count), (tiles, ys, xs))
+    return full / count
+
+
+def grid_coords_arrays(grid: TileGrid) -> tuple[np.ndarray, np.ndarray]:
+    ys = np.array([c[0] for c in grid.coords], np.int32)
+    xs = np.array([c[1] for c in grid.coords], np.int32)
+    return ys, xs

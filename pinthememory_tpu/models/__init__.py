@@ -1,0 +1,105 @@
+"""Model factory mirroring the reference's named constructors.
+
+Reference: network/__init__.py:12-46 resolves ``args.arch`` strings like
+``network.deepv3plus.DeepR50V3PlusD`` via importlib; here the same surface is
+a registry keyed by the bare constructor name (both forms accepted).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from pinthememory_tpu.core.config import Config, ModelConfig
+from pinthememory_tpu.models.deepv3plus import DeepV3Plus
+from pinthememory_tpu.models.memory import init_memory
+
+# name -> (trunk, variant, use_skip)  [reference: deepv3plus.py:638-812,
+#  deepv3.py, deepv2.py:342-357]
+_V3PLUS_ARCHS = {
+    "DeepR18V3PlusD": ("resnet-18", "D32", True),
+    "DeepR50V3PlusD": ("resnet-50", "D16", True),
+    "DeepR50V3PlusD_OS8": ("resnet-50", "D", True),
+    "DeepR101V3PlusD": ("resnet-101", "D16", True),
+    "DeepR101V3PlusD_OS8": ("resnet-101", "D", True),
+    "DeepR152V3PlusD_OS8": ("resnet-152", "D", True),
+    "DeepMobileNetV3PlusD": ("mobilenetv2", "D16", True),
+    "DeepMobileNetV3PlusD_OS8": ("mobilenetv2", "D", True),
+    "DeepShuffleNetV3PlusD": ("shufflenetv2", "D16", True),
+    "DeepShuffleNetV3PlusD_OS8": ("shufflenetv2", "D", True),
+    "DeepShuffleNetV3PlusD_OS32": ("shufflenetv2", "D32", True),
+    # DeepV3 (no low-level skip, network/deepv3.py)
+    "DeepR50V3D": ("resnet-50", "D16", False),
+    "DeepR101V3D": ("resnet-101", "D16", False),
+}
+
+
+def build_model(mc: ModelConfig) -> Any:
+    """Build the Flax module for a :class:`ModelConfig`."""
+    name = mc.arch.rsplit(".", 1)[-1]
+    if name in ("DeepR50V2D", "DeepR101V2D"):
+        from pinthememory_tpu.models.deepv2 import DeepV2
+
+        trunk = "resnet-50" if name == "DeepR50V2D" else "resnet-101"
+        return DeepV2(
+            num_classes=mc.num_classes,
+            trunk=trunk,
+            use_memory=mc.memory.enabled,
+            mem_slot=mc.memory.mem_slot,
+            mem_dim=mc.memory.mem_dim,
+            mem_momentum=mc.memory.mem_momentum,
+            mem_temp=mc.memory.mem_temp,
+            gumbel_read=mc.memory.gumbel_read,
+            dtype=jnp.dtype(mc.dtype),
+        )
+    if name not in _V3PLUS_ARCHS:
+        raise ValueError(f"unknown arch {mc.arch!r}")
+    trunk, variant, use_skip = _V3PLUS_ARCHS[name]
+    return DeepV3Plus(
+        num_classes=mc.num_classes,
+        trunk=trunk,
+        variant=variant,
+        use_skip=use_skip,
+        use_memory=mc.memory.enabled,
+        mem_slot=mc.memory.mem_slot,
+        mem_dim=mc.memory.mem_dim,
+        mem_momentum=mc.memory.mem_momentum,
+        mem_temp=mc.memory.mem_temp,
+        gumbel_read=mc.memory.gumbel_read,
+        wt_layer=tuple(mc.whitening.wt_layer),
+        dtype=jnp.dtype(mc.dtype),
+    )
+
+
+def init_model(
+    mc: ModelConfig, key: jax.Array, input_hw: tuple[int, int] = (768, 768), batch: int = 1
+):
+    """Initialize (model, variables, m_items)."""
+    model = build_model(mc)
+    kp, km, kr = jax.random.split(key, 3)
+    x = jnp.zeros((batch, *input_hw, 3), jnp.float32)
+    m_items = (
+        init_memory(km, mc.memory.mem_slot, mc.memory.mem_dim)
+        if mc.memory.enabled
+        else None
+    )
+    gts = jnp.zeros((batch, *input_hw), jnp.int32)
+    # Trace every branch (aux head, memory write path) so all params exist.
+    variables = model.init(
+        {"params": kp},
+        x,
+        gts,
+        m_items,
+        train=False,
+        rng=kr,
+        with_aux=True,
+        memory_writing=mc.memory.enabled,
+    )
+    return model, variables, m_items
+
+
+def get_net(cfg: Config, key: jax.Array, input_hw: tuple[int, int] = (768, 768)):
+    """Reference-shaped entry (network/__init__.py:12-22)."""
+    return init_model(cfg.model, key, input_hw)

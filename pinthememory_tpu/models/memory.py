@@ -1,0 +1,274 @@
+"""Categorical memory: class-supervised slots with attention read and
+momentum masked-pooling write.  Reference: network/memory.py (Memory_sup).
+
+TPU-native design
+-----------------
+The reference mutates ``self.m_items`` in place across forwards; here the
+memory is an explicit ``(M, D)`` array threaded through every call -- the
+train step carries it as state, which makes the meta-episode's triple
+write/reset choreography (train.py:530-583) visible dataflow instead of
+hidden mutation.
+
+The read is a tiny attention: (B*H*W) queries x M=19 keys of width 256.  The
+score/softmax/gather chain is matmul-shaped and fuses onto the MXU; a Pallas
+fused kernel for it lives in ops/memory_kernel.py and is used on TPU for the
+(normalize -> score -> 2x softmax -> retrieve) pipeline.
+
+Under data parallelism the write statistics (nominator/denominator) are batch
+sums; with GSPMD batch sharding those sums are global collectives, so
+``m_items`` stays replica-identical by construction (fixing the reference's
+per-rank memory drift noted in SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pinthememory_tpu.models.layers import batch_norm, conv2d
+from pinthememory_tpu.ops.resize import resize_bilinear_align_corners
+
+_HP = jax.lax.Precision.HIGHEST
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    """torch ``F.normalize(p=2)``: x / max(||x||, eps)."""
+    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
+    return x / jnp.maximum(norm, eps)
+
+
+def init_memory(key: jax.Array, memory_size: int, feature_dim: int) -> jnp.ndarray:
+    """Random L2-normalized slots (reference: memory.py:120-121)."""
+    m = jax.random.uniform(key, (memory_size, feature_dim), jnp.float32)
+    return l2_normalize(m, axis=1)
+
+
+class MemoryOutputs(NamedTuple):
+    fused: jnp.ndarray                 # (B, H, W, input_dim) refined features
+    score_query: jnp.ndarray           # (B, H, W, M) softmax over pixels
+    score_memory: jnp.ndarray          # (B, H, W, M) softmax over slots
+    read_loss: jnp.ndarray             # scalar CE(score/T vs mask)
+    div_loss: jnp.ndarray              # scalar slot-diversity loss
+    cls_loss: jnp.ndarray              # scalar slot-classification loss
+    m_items: jnp.ndarray               # (M, D) possibly-updated memory
+
+
+def gumbel_softmax(key: jax.Array, logits: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """torch ``F.gumbel_softmax(tau=1, hard=False)`` with explicit rng."""
+    u = jax.random.uniform(key, logits.shape, jnp.float32, 1e-10, 1.0)
+    g = -jnp.log(-jnp.log(u))
+    return jax.nn.softmax(logits + g, axis=axis)
+
+
+def read_loss_from_score(
+    score: jnp.ndarray, mask: jnp.ndarray, temperature: float, num_slots: int
+) -> jnp.ndarray:
+    """CE(upsample(score/T), mask) with ignore=255 (memory.py:173-177).
+
+    score: (B, h, w, M); mask: (B, H, W) int labels.
+    """
+    logits = score / temperature
+    logits = resize_bilinear_align_corners(logits, mask.shape[1:3])
+    logits = logits.astype(jnp.float32)
+    valid = (mask != 255) & (mask < num_slots)
+    safe = jnp.where(valid, mask, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    denom = jnp.maximum(jnp.sum(valid), 1)
+    return jnp.sum(jnp.where(valid, nll, 0.0)) / denom
+
+
+def memory_read(
+    m_items: jnp.ndarray,
+    query: jnp.ndarray,
+    mask: jnp.ndarray | None,
+    *,
+    temperature: float,
+    gumbel: bool,
+    rng: jax.Array | None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Memory read (memory.py:317-336 + get_score 167-189).
+
+    query: (B, H, W, D) *unnormalized* features.  Returns
+    (query_n, retrieved, score_query, score_memory, read_loss).
+    """
+    b, h, w, d = query.shape
+    m = m_items.shape[0]
+    query_n = l2_normalize(query, axis=-1)
+    score = jnp.einsum("bhwd,md->bhwm", query_n, m_items, precision=_HP)
+
+    if mask is not None:
+        rloss = read_loss_from_score(score, mask, temperature, m)
+    else:
+        rloss = jnp.zeros((), jnp.float32)
+
+    flat = score.reshape(b * h * w, m)
+    if gumbel:
+        assert rng is not None, "gumbel read requires an rng key"
+        kq, km = jax.random.split(rng)
+        score_query = gumbel_softmax(kq, flat, axis=0)
+        score_memory = gumbel_softmax(km, flat, axis=1)
+    else:
+        score_query = jax.nn.softmax(flat, axis=0)
+        score_memory = jax.nn.softmax(flat, axis=1)
+
+    retrieved = jnp.einsum("nm,md->nd", score_memory, m_items, precision=_HP)
+    return (
+        query_n,
+        retrieved.reshape(b, h, w, d),
+        score_query.reshape(b, h, w, m),
+        score_memory.reshape(b, h, w, m),
+        rloss,
+    )
+
+
+def write_statistics(
+    write_query: jnp.ndarray, mask: jnp.ndarray, num_slots: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Masked per-slot sums (memory.py:219-231).
+
+    write_query: (B, h, w, D) normalized writing features; mask: (B, H, W).
+    The GT one-hot (255 -> extra slot) is bilinearly downsampled with
+    align_corners=True to (h, w) -- soft class weights near boundaries,
+    exactly as the reference.  Returns (nominator (M, D), denominator (M,)),
+    extra ignore slot already dropped.
+    """
+    b, h, w, d = write_query.shape
+    mask = jnp.where(mask == 255, num_slots, mask).astype(jnp.int32)
+    onehot = jax.nn.one_hot(mask, num_slots + 1, dtype=jnp.float32)  # B,H,W,M+1
+    onehot = resize_bilinear_align_corners(onehot, (h, w))
+    flat_mask = onehot.reshape(b, h * w, num_slots + 1)
+    flat_q = write_query.reshape(b, h * w, d).astype(jnp.float32)
+    # (B, D, M+1) summed over batch -> (M+1, D)
+    nominator = jnp.einsum("bpd,bpm->md", flat_q, flat_mask, precision=_HP)
+    denominator = jnp.sum(flat_mask, axis=(0, 1))
+    return nominator[:num_slots], denominator[:num_slots]
+
+
+def momentum_update(
+    m_items: jnp.ndarray,
+    nominator: jnp.ndarray,
+    denominator: jnp.ndarray,
+    momentum: float,
+) -> jnp.ndarray:
+    """Momentum write for slots present in the batch (memory.py:233-239).
+
+    The old memory enters detached (memory.py:233: ``clone().detach()``), so
+    gradients only flow through the nominator/denominator statistics.
+    """
+    old = jax.lax.stop_gradient(m_items)
+    present = denominator > 0
+    mean = nominator / jnp.maximum(denominator, 1e-12)[:, None]
+    updated = jnp.where(
+        present[:, None], momentum * old + (1.0 - momentum) * mean, old
+    )
+    return l2_normalize(updated, axis=1)
+
+
+def diversity_loss(m_items: jnp.ndarray) -> jnp.ndarray:
+    """Clamped off-diagonal cosine similarity mean (memory.py:264-272)."""
+    m = m_items.shape[0]
+    cos = jnp.einsum("md,nd->mn", m_items, m_items, precision=_HP)
+    pos = jnp.maximum(cos, 0.0)
+    return (jnp.sum(pos) - jnp.trace(pos)) / (m * (m - 1))
+
+
+class MemoryModule(nn.Module):
+    """Parameterized pieces of the memory: writenet, output fusion, clsfier.
+
+    Reference: Writingnet (memory.py:67-87), ``self.output`` (103-107),
+    ``self.clsfier`` (112).
+    """
+
+    input_dim: int = 256
+    feature_dim: int = 256
+    memory_size: int = 19
+    momentum: float = 0.8
+    temperature: float = 1.0
+    gumbel_read: bool = True
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.write_conv = conv2d(self.feature_dim, 1, dtype=self.dtype, name="writenet_conv")
+        self.write_bn = batch_norm(self.dtype, name="writenet_bn")
+        self.out_conv = conv2d(self.input_dim, 1, dtype=self.dtype, name="output_conv")
+        self.out_bn = batch_norm(self.dtype, name="output_bn")
+        self.clsfier = nn.Dense(self.memory_size, dtype=self.dtype, name="clsfier")
+
+    def write_features(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        """Writingnet: relu(x + BN(conv1x1(x))), then L2-normalize."""
+        y = self.write_bn(self.write_conv(x), use_running_average=not train)
+        y = nn.relu(x + y)
+        return l2_normalize(y, axis=-1)
+
+    def fuse(self, query_n: jnp.ndarray, retrieved: jnp.ndarray, train: bool) -> jnp.ndarray:
+        """concat -> 1x1 conv -> BN -> ReLU (memory.py:330-334)."""
+        cat = jnp.concatenate([query_n, retrieved], axis=-1)
+        y = self.out_bn(self.out_conv(cat), use_running_average=not train)
+        return nn.relu(y)
+
+    def classification_loss(self, m_items: jnp.ndarray) -> jnp.ndarray:
+        """CE(clsfier(m_items), arange(M)) (memory.py:259-262)."""
+        logits = self.clsfier(m_items.astype(self.dtype)).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return -jnp.mean(jnp.diag(logp))
+
+    def __call__(
+        self,
+        query: jnp.ndarray,
+        m_items: jnp.ndarray,
+        mask: jnp.ndarray | None,
+        *,
+        memory_writing: bool,
+        writing_detach: bool,
+        train: bool,
+        rng: jax.Array | None = None,
+    ) -> MemoryOutputs:
+        """Full memory forward: read then (optionally) write.
+
+        Mirrors Memory_sup.forward (memory.py:191-204) including the detach
+        discipline: when writing, the read uses a detached memory
+        (memory.py:323-324); the write always starts from a detached old
+        memory; ``writing_detach`` controls whether the *returned* memory
+        stays in the graph (gradients to writenet via the outer meta-loss).
+        """
+        read_items = jax.lax.stop_gradient(m_items) if memory_writing else m_items
+        # NOTE: torch's F.gumbel_softmax samples noise in eval mode too, so the
+        # reference's inference is stochastic when --gumbel_off is not passed
+        # (memory.py:181-187).  We deliberately gate sampling on ``train`` for
+        # deterministic, reproducible evaluation.
+        query_n, retrieved, s_query, s_memory, read_loss = memory_read(
+            read_items,
+            query,
+            mask,
+            temperature=self.temperature,
+            gumbel=self.gumbel_read and train,
+            rng=rng,
+        )
+        fused = self.fuse(query_n, retrieved, train)
+
+        if memory_writing:
+            assert mask is not None, "memory write requires labels"
+            wq = self.write_features(query, train)
+            nom, den = write_statistics(wq, mask, self.memory_size)
+            updated = momentum_update(read_items, nom, den, self.momentum)
+            div_loss = diversity_loss(updated)
+            cls_loss = self.classification_loss(updated)
+            new_items = jax.lax.stop_gradient(updated) if writing_detach else updated
+        else:
+            div_loss = jnp.zeros((), jnp.float32)
+            cls_loss = jnp.zeros((), jnp.float32)
+            new_items = m_items
+
+        return MemoryOutputs(
+            fused=fused,
+            score_query=s_query,
+            score_memory=s_memory,
+            read_loss=read_loss,
+            div_loss=div_loss,
+            cls_loss=cls_loss,
+            m_items=new_items,
+        )

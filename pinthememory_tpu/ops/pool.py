@@ -11,7 +11,9 @@ def max_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:
 
     Used by every ResNet stem (reference: network/Resnet.py:254,316).
     """
-    neg_inf = jnp.asarray(-jnp.inf, x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # NB: the init value must be a Python scalar literal so JAX recognizes
+    # the max-pool pattern for reverse-mode autodiff.
+    neg_inf = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return jax.lax.reduce_window(
         x,
         neg_inf,

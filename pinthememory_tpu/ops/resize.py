@@ -52,6 +52,85 @@ def _nearest_index(in_size: int, out_size: int) -> np.ndarray:
     return np.clip(idx, 0, in_size - 1)
 
 
+@functools.lru_cache(maxsize=256)
+def _linear_matrix_half_pixel(in_size: int, out_size: int) -> np.ndarray:
+    """(out, in) matrix for half-pixel-center linear sampling.
+
+    Matches ``cv2.resize(..., interpolation=INTER_LINEAR)`` and torch
+    ``align_corners=False``: source coordinate ``(i + 0.5) * in/out - 0.5``,
+    clamped, no antialiasing.  Used by the eval merge path, which must
+    reproduce the reference's per-class cv2 resize (eval.py:202-207).
+    """
+    a = np.zeros((out_size, in_size), dtype=np.float32)
+    scale = in_size / out_size
+    coords = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
+    coords = np.clip(coords, 0, in_size - 1)
+    lo = np.floor(coords).astype(np.int64)
+    hi = np.clip(lo + 1, 0, in_size - 1)
+    frac = (coords - lo).astype(np.float32)
+    rows = np.arange(out_size)
+    a[rows, lo] += 1.0 - frac
+    a[rows, hi] += frac
+    return a
+
+
+@functools.lru_cache(maxsize=256)
+def _pil_bilinear_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(out, in) matrix replicating PIL ``Image.BILINEAR`` resampling.
+
+    PIL applies an *antialiased* triangle filter whose support scales with
+    the downsampling factor; the reference rescales uint8 images with it
+    before tiling (eval.py:357) and in every dataset transform, so matching
+    it matters for end-to-end parity.
+    """
+    a = np.zeros((out_size, in_size), dtype=np.float64)
+    scale = in_size / out_size
+    filterscale = max(scale, 1.0)
+    support = 1.0 * filterscale  # triangle filter has support 1
+    for i in range(out_size):
+        center = (i + 0.5) * scale
+        left = max(int(center - support + 0.5), 0)
+        right = min(int(center + support + 0.5), in_size)
+        idx = np.arange(left, right)
+        w = 1.0 - np.abs((idx + 0.5 - center) / filterscale)
+        w = np.clip(w, 0.0, None)
+        s = w.sum()
+        if s > 0:
+            a[i, left:right] = w / s
+        else:
+            a[i, min(int(center), in_size - 1)] = 1.0
+    return a.astype(np.float32)
+
+
+def resize_bilinear_half_pixel(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """cv2.INTER_LINEAR / torch align_corners=False resize (NHWC/HWC)."""
+    return _apply_separable(x, out_hw, _linear_matrix_half_pixel)
+
+
+def resize_pil_bilinear(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """PIL Image.BILINEAR (antialiased) resize (NHWC/HWC), float output."""
+    return _apply_separable(x, out_hw, _pil_bilinear_matrix)
+
+
+def _apply_separable(x: jnp.ndarray, out_hw, matrix_fn) -> jnp.ndarray:
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    _, h, w, _ = x.shape
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return x[0] if squeeze else x
+    dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    xf = x.astype(jnp.float32)
+    hp = jax.lax.Precision.HIGHEST
+    if h != oh:
+        xf = jnp.einsum("oh,bhwc->bowc", jnp.asarray(matrix_fn(h, oh)), xf, precision=hp)
+    if w != ow:
+        xf = jnp.einsum("ow,bhwc->bhoc", jnp.asarray(matrix_fn(w, ow)), xf, precision=hp)
+    out = xf.astype(dtype)
+    return out[0] if squeeze else out
+
+
 def resize_bilinear_align_corners(
     x: jnp.ndarray, out_hw: tuple[int, int]
 ) -> jnp.ndarray:

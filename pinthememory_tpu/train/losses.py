@@ -1,0 +1,167 @@
+"""Segmentation losses and total-loss assembly.
+
+Reference: loss.py (criteria) and train.py:213-244 (``calculate_loss``
+weighting: total = main + 0.4*aux + wt_reg*wt + 0.02*read + 0.4*div +
+0.2*cls).  The reference computes losses inside the model forward; here they
+are pure functions over the model's output dict.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pinthememory_tpu.core.config import Config
+from pinthememory_tpu.ops.resize import resize_labels_nearest
+
+# torch-standard Cityscapes class weights (loss.py:21-23)
+CLASS_WEIGHTS_19 = jnp.array(
+    [0.8373, 0.9180, 0.8660, 1.0345, 1.0166, 0.9969, 0.9754,
+     1.0489, 0.8786, 1.0023, 0.9539, 0.9843, 1.1116, 0.9037,
+     1.0865, 1.0955, 1.0865, 1.1529, 1.0507],
+    dtype=jnp.float32,
+)
+
+
+def cross_entropy_2d(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    ignore_index: int = 255,
+    class_weights: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Mean CE over valid pixels, NHWC logits, int labels.
+
+    Matches ``nn.CrossEntropyLoss(weight, reduction='mean', ignore_index)``:
+    with class weights the mean is weighted by the per-pixel class weight
+    (torch divides by the summed weights of contributing pixels).
+    """
+    num_classes = logits.shape[-1]
+    logits = logits.astype(jnp.float32)
+    valid = (labels != ignore_index) & (labels >= 0) & (labels < num_classes)
+    safe = jnp.where(valid, labels, 0).astype(jnp.int32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    if class_weights is not None:
+        wpix = class_weights[safe]
+        nll = nll * wpix
+        denom = jnp.sum(jnp.where(valid, wpix, 0.0))
+    else:
+        denom = jnp.sum(valid)
+    return jnp.sum(jnp.where(valid, nll, 0.0)) / jnp.maximum(denom, 1e-12)
+
+
+def image_weighted_cross_entropy(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    num_classes: int = 19,
+    upper_bound: float = 1.0,
+    ignore_index: int = 255,
+    norm: bool = False,
+) -> jnp.ndarray:
+    """Per-image histogram-weighted NLL (loss.py:120-163).
+
+    Reference computes a normalized class histogram per image on CPU
+    (np.histogram(..., normed=True)) and weights classes by
+    ``(hist != 0) * ub * (1 - hist) + 1``; the per-image losses are summed.
+    Here the histogram is computed on device.  NB the reference histogram
+    normalization is a *density* over bin width 1, i.e. hist/total counting
+    every pixel (ignore pixels fall outside bins).
+    """
+    b = logits.shape[0]
+
+    def one(lg, lb):
+        in_range = (lb >= 0) & (lb < num_classes)
+        hist = jnp.zeros((num_classes,), jnp.float32).at[
+            jnp.where(in_range, lb, 0).reshape(-1)
+        ].add(in_range.reshape(-1).astype(jnp.float32))
+        total = jnp.maximum(jnp.sum(hist), 1.0)
+        density = hist / total
+        if norm:
+            w = jnp.where(hist != 0, upper_bound / jnp.maximum(density, 1e-12), 0.0) + 1.0
+        else:
+            w = (hist != 0) * upper_bound * (1.0 - density) + 1.0
+        return cross_entropy_2d(lg[None], lb[None], ignore_index, w)
+
+    losses = jax.vmap(one)(logits, labels)
+    return jnp.sum(losses)
+
+
+class LossBundle(NamedTuple):
+    total: jnp.ndarray
+    main: jnp.ndarray
+    aux: jnp.ndarray
+    wt: jnp.ndarray
+    read: jnp.ndarray
+    div: jnp.ndarray
+    cls: jnp.ndarray
+
+
+def main_criterion(cfg: Config):
+    t = cfg.train
+
+    if t.img_wt_loss:
+        def crit(logits, labels):
+            return image_weighted_cross_entropy(
+                logits, labels, cfg.model.num_classes, t.wt_bound
+            )
+        return crit
+    weights = CLASS_WEIGHTS_19 if t.cls_wt_loss else None
+
+    def crit(logits, labels):
+        return cross_entropy_2d(logits, labels, class_weights=weights)
+
+    return crit
+
+
+def aux_criterion(cfg: Config):
+    """Aux CE; the reference optionally class-weights it the same way
+    (loss.py:71-88)."""
+    weights = CLASS_WEIGHTS_19 if cfg.train.cls_wt_loss else None
+
+    def crit(logits, labels):
+        return cross_entropy_2d(logits, labels, class_weights=weights)
+
+    return crit
+
+
+def assemble_losses(
+    cfg: Config,
+    outputs: dict,
+    gts: jnp.ndarray,
+    aux_gts: jnp.ndarray,
+    wt_loss: jnp.ndarray | None = None,
+    apply_wtloss: bool = True,
+) -> LossBundle:
+    """Total-loss assembly mirroring calculate_loss (train.py:213-244)."""
+    t = cfg.train
+    main = main_criterion(cfg)(outputs["main_out"], gts)
+
+    if outputs.get("aux_out") is not None:
+        aux_small = resize_labels_nearest(aux_gts, outputs["aux_out"].shape[1:3])
+        aux = aux_criterion(cfg)(outputs["aux_out"], aux_small)
+    else:
+        aux = jnp.zeros((), jnp.float32)
+
+    aux_w = 0.0 if t.no_aux_loss else t.aux_loss_weight
+    total = main + aux_w * aux
+
+    wt = wt_loss if wt_loss is not None else jnp.zeros((), jnp.float32)
+    if cfg.model.whitening.use_wtloss and apply_wtloss:
+        total = total + cfg.model.whitening.wt_reg_weight * wt
+
+    mem = outputs.get("mem")
+    if mem is not None:
+        total = (
+            total
+            + t.mem_readloss * mem.read_loss
+            + t.mem_divloss * mem.div_loss
+            + t.mem_clsloss * mem.cls_loss
+        )
+        read, div, cls = mem.read_loss, mem.div_loss, mem.cls_loss
+    else:
+        z = jnp.zeros((), jnp.float32)
+        read, div, cls = z, z, z
+
+    return LossBundle(total, main, aux, wt, read, div, cls)
