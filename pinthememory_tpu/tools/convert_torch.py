@@ -1,0 +1,215 @@
+"""PyTorch checkpoint -> JAX state converter.
+
+Maps the reference's ``state_dict`` naming (network/deepv3plus.py +
+network/Resnet.py module tree, checkpoint payload per utils/misc.py:206-216)
+onto this package's param/batch_stats pytrees.  Works straight off a
+released ``.pth`` (keys may carry the DDP ``module.`` prefix,
+optimizer.py:45-70), including the raw ``'memory'`` tensor.
+
+Layout conversions:
+  conv   weight (O, I, kH, kW)  -> kernel (kH, kW, I, O)
+  linear weight (O, I)          -> kernel (I, O)
+  BN     weight/bias            -> params  {scale, bias}
+         running_mean/var       -> batch_stats {mean, var}
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Mapping
+
+import numpy as np
+
+
+def _conv(w) -> np.ndarray:
+    return np.transpose(np.asarray(w, dtype=np.float32), (2, 3, 1, 0))
+
+
+def _dense(w) -> np.ndarray:
+    return np.transpose(np.asarray(w, dtype=np.float32), (1, 0))
+
+
+def _set(tree: dict, path: tuple[str, ...], leaf_name: str, value: np.ndarray):
+    node = tree
+    for p in path:
+        node = node.setdefault(p, {})
+    node[leaf_name] = value
+
+
+class ConversionReport:
+    def __init__(self):
+        self.mapped: list[str] = []
+        self.skipped: list[str] = []
+
+    def __repr__(self):
+        return f"<ConversionReport mapped={len(self.mapped)} skipped={len(self.skipped)}>"
+
+
+def _stem_map(three_stem: bool) -> dict[str, str]:
+    if three_stem:  # ResNet3X3 (resnet-101): Sequential indices 0,1,3,4,6,7
+        return {"0": "conv1", "1": "bn1", "3": "conv2", "4": "bn2", "6": "conv3", "7": "bn3"}
+    return {"0": "conv1", "1": "bn1"}
+
+
+def convert_state_dict(
+    state_dict: Mapping[str, Any],
+    three_stem: bool = False,
+    memory: np.ndarray | None = None,
+) -> tuple[dict, dict, np.ndarray | None, ConversionReport]:
+    """Convert a reference DeepV3Plus/DeepV3/DeepV2 state_dict.
+
+    Returns (params, batch_stats, m_items, report).  Tensors that have no
+    counterpart (``num_batches_tracked``, the unused ``mem_cls`` buffer...)
+    are recorded as skipped, mirroring ``forgiving_state_restore``.
+    """
+    params: dict = {}
+    stats: dict = {}
+    report = ConversionReport()
+    stem = _stem_map(three_stem)
+
+    def put(path: tuple[str, ...], kind: str, leaf: str, value):
+        """kind: conv|bn|dense; leaf: torch leaf name."""
+        value = np.asarray(value, dtype=np.float32)
+        if kind == "conv":
+            if leaf == "weight":
+                _set(params, path, "kernel", _conv(value))
+            else:
+                _set(params, path, "bias", value)
+        elif kind == "dense":
+            if leaf == "weight":
+                _set(params, path, "kernel", _dense(value))
+            else:
+                _set(params, path, "bias", value)
+        elif kind == "bn":
+            if leaf == "weight":
+                _set(params, path, "scale", value)
+            elif leaf == "bias":
+                _set(params, path, "bias", value)
+            elif leaf == "running_mean":
+                _set(stats, path, "mean", value)
+            elif leaf == "running_var":
+                _set(stats, path, "var", value)
+            else:
+                return False
+        return True
+
+    for key, value in state_dict.items():
+        k = key
+        if k.startswith("module."):
+            k = k[len("module."):]
+        parts = k.split(".")
+        leaf = parts[-1]
+        ok = False
+
+        if leaf == "num_batches_tracked" or parts[0] in ("mem_cls", "celoss"):
+            report.skipped.append(key)
+            continue
+
+        # ---- backbone stem: layer0.{i}.<leaf>
+        if parts[0] == "layer0" and len(parts) == 3:
+            idx = parts[1]
+            if idx in stem:
+                name = stem[idx]
+                kind = "conv" if name.startswith("conv") else "bn"
+                ok = put(("backbone", name), kind, leaf, value)
+
+        # ---- backbone stages: layer{L}.{j}.<mod>...<leaf>
+        elif re.fullmatch(r"layer[1-4]", parts[0]) and len(parts) >= 3:
+            layer, j = parts[0], parts[1]
+            base = ("backbone", layer, f"block{j}")
+            mod = parts[2]
+            if mod.startswith("conv"):
+                ok = put(base + (mod,), "conv", leaf, value)
+            elif mod.startswith("bn"):
+                ok = put(base + (mod,), "bn", leaf, value)
+            elif mod == "downsample":
+                sub = "downsample_conv" if parts[3] == "0" else "downsample_bn"
+                kind = "conv" if parts[3] == "0" else "bn"
+                ok = put(base + (sub,), kind, leaf, value)
+            elif mod == "instance_norm_layer":
+                # affine InstanceNorm (iw==4) or SyncSwitchWhiten (iw==5)
+                ok = put(base + ("post_in_affine",), "bn", leaf, value)
+
+        # ---- ASPP: aspp.features.{k}.{0|1}.*  /  aspp.img_conv.{0|1}.*
+        elif parts[0] == "aspp":
+            if parts[1] == "features":
+                branch = f"branch{parts[2]}"
+                sub, kind = (f"{branch}_conv", "conv") if parts[3] == "0" else (f"{branch}_bn", "bn")
+                ok = put(("aspp", sub), kind, leaf, value)
+            elif parts[1] == "img_conv":
+                sub, kind = ("img_conv", "conv") if parts[2] == "0" else ("img_bn", "bn")
+                ok = put(("aspp", sub), kind, leaf, value)
+            elif parts[1] == "aspp":  # DeepV2 summed-ASPP branches: aspp.aspp.{k}
+                ok = put(("aspp", f"branch{parts[2]}"), "conv", leaf, value)
+
+        # ---- decoder heads
+        elif parts[0] in ("bot_fine", "bot_aspp"):
+            sub, kind = (f"{parts[0]}_conv", "conv") if parts[1] == "0" else (f"{parts[0]}_bn", "bn")
+            ok = put((sub,), kind, leaf, value)
+        elif parts[0] == "final1":
+            sub = {"0": ("final1_conv1", "conv"), "1": ("final1_bn1", "bn"),
+                   "3": ("final1_conv2", "conv"), "4": ("final1_bn2", "bn")}.get(parts[1])
+            if sub:
+                ok = put((sub[0],), sub[1], leaf, value)
+        elif parts[0] == "final2":
+            ok = put(("final2_conv",), "conv", leaf, value)
+        elif parts[0] == "dsn":
+            sub = {"0": ("dsn_conv1", "conv"), "1": ("dsn_bn", "bn"),
+                   "4": ("dsn_conv2", "conv")}.get(parts[1])
+            if sub:
+                ok = put((sub[0],), sub[1], leaf, value)
+
+        # ---- memory module
+        elif parts[0] == "memory":
+            if parts[1] == "writenet":  # memory.writenet.writefeat.{0|1}
+                sub, kind = ("writenet_conv", "conv") if parts[3] == "0" else ("writenet_bn", "bn")
+                ok = put(("memory", sub), kind, leaf, value)
+            elif parts[1] == "output":
+                sub, kind = ("output_conv", "conv") if parts[2] == "0" else ("output_bn", "bn")
+                ok = put(("memory", sub), kind, leaf, value)
+            elif parts[1] == "clsfier":
+                ok = put(("memory", "clsfier"), "dense", leaf, value)
+            elif parts[1] == "m_items":
+                memory = np.asarray(value, dtype=np.float32)
+                ok = True
+
+        (report.mapped if ok else report.skipped).append(key)
+
+    m_items = np.asarray(memory, dtype=np.float32) if memory is not None else None
+    return params, stats, m_items, report
+
+
+def load_reference_checkpoint(path: str, three_stem: bool = False):
+    """Load a released ``.pth`` (payload: utils/misc.py:206-216)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    state_dict = ckpt.get("state_dict", ckpt)
+    state_dict = {k: v.numpy() for k, v in state_dict.items() if hasattr(v, "numpy")}
+    memory = ckpt.get("memory")
+    if memory is not None:
+        memory = memory.cpu().numpy()
+    return convert_state_dict(state_dict, three_stem=three_stem, memory=memory)
+
+
+def merge_into_variables(variables: dict, params: dict, stats: dict) -> dict:
+    """Forgiving merge (optimizer.py:73-89): copy where name+shape match."""
+    import jax
+
+    def merge(dst, src, path=""):
+        out = {}
+        for k, v in dst.items():
+            if isinstance(v, dict):
+                out[k] = merge(v, src.get(k, {}), path + k + "/")
+            else:
+                s = src.get(k)
+                if s is not None and tuple(np.shape(s)) == tuple(np.shape(v)):
+                    out[k] = jax.numpy.asarray(s, dtype=v.dtype)
+                else:
+                    out[k] = v
+        return out
+
+    return {
+        "params": merge(variables["params"], params),
+        "batch_stats": merge(variables.get("batch_stats", {}), stats),
+    }
