@@ -1,0 +1,218 @@
+"""Dataset backends.  All emit 19-class Cityscapes trainIds, ignore=255.
+
+Reference modules: datasets/{cityscapes,gtav,synthia,bdd100k,mapillary,idd,
+kitti,camvid,video_folder,nullloader}.py.  Directory layouts follow the
+reference's expectations under a shared ``dataset_root``
+(config.py:68-91):
+
+  cityscapes/leftImg8bit_trainvaltest/leftImg8bit/{train,val}/<city>/*.png
+             gtFine_trainvaltest/gtFine/.../*_gtFine_labelIds.png
+  GTAV/images/{train,valid,test}/<folder>/*.png + labels/... (RGB color masks)
+  synthia/RGB/... + GT/LABELS/... (uint16 PNG, class in high byte)
+  bdd-100k/seg/images/{train,val}/*.jpg + seg/labels/*_train_id.png
+  mapillary/{training,validation}/images/*.jpg + labels/*.png (65-class ids)
+  idd/leftImg8bit_trainvaltest/leftImg8bit/... (pre-mapped level-3 ids)
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from PIL import Image
+
+from pinthememory_tpu.core import labels as L
+from pinthememory_tpu.data.base import SegmentationDataset, find_pairs
+
+_ID_LUT = L.id_to_trainid_lut()
+
+
+def _lut_from_dict(d: dict[int, int], size: int = 256) -> np.ndarray:
+    lut = np.full(size, 255, np.uint8)
+    for k, v in d.items():
+        if 0 <= k < size:
+            lut[k] = v
+    return lut
+
+
+# Synthia 23-entry map (datasets/synthia.py:30-55)
+SYNTHIA_LUT = _lut_from_dict({
+    0: 255, 1: 10, 2: 2, 3: 0, 4: 1, 5: 4, 6: 8, 7: 5, 8: 13, 9: 7,
+    10: 11, 11: 18, 12: 17, 13: 255, 14: 255, 15: 6, 16: 9, 17: 12,
+    18: 14, 19: 15, 20: 16, 21: 3, 22: 255,
+})
+
+# Mapillary Vistas 66 -> 19 grouping (datasets/mapillary.py:39-131)
+MAPILLARY_LUT = _lut_from_dict({
+    13: 0, 24: 0, 41: 0, 2: 1, 15: 1, 17: 2, 6: 3, 3: 4, 45: 5, 47: 5,
+    48: 6, 50: 7, 30: 8, 29: 9, 27: 10, 19: 11, 20: 12, 21: 12, 22: 12,
+    55: 13, 61: 14, 54: 15, 58: 16, 57: 17, 52: 18,
+})
+
+
+class Cityscapes(SegmentationDataset):
+    """datasets/cityscapes.py: labelIds masks remapped via label2trainid."""
+
+    def __init__(self, root: str, mode: str = "train", **kw):
+        super().__init__(mode=mode, **kw)
+        self.root = root
+        split = "train" if mode == "train" else "val"
+        img_root = os.path.join(root, "leftImg8bit_trainvaltest", "leftImg8bit", split)
+        mask_root = os.path.join(root, "gtFine_trainvaltest", "gtFine", split)
+        self.imgs = find_pairs(
+            img_root, mask_root, "_leftImg8bit.png", "_gtFine_labelIds.png"
+        )
+
+    def decode_mask(self, mask_path: str) -> np.ndarray:
+        raw = np.asarray(Image.open(mask_path), np.uint8)
+        return _ID_LUT[raw]
+
+
+class GTAV(SegmentationDataset):
+    """datasets/gtav.py: RGB color masks -> trainIds via the color LUT
+    (the reference's per-color Python loop, gtav.py:250-256, vectorized)."""
+
+    def __init__(self, root: str, mode: str = "train", **kw):
+        super().__init__(mode=mode, **kw)
+        self.root = root
+        split = {"train": "train", "val": "valid", "test": "test"}.get(mode, "train")
+        img_root = os.path.join(root, "images", split)
+        mask_root = os.path.join(root, "labels", split)
+        self.imgs = find_pairs(img_root, mask_root, ".png", ".png")
+
+    def decode_mask(self, mask_path: str) -> np.ndarray:
+        rgb = np.asarray(Image.open(mask_path).convert("RGB"), np.uint8)
+        return L.remap_color_mask(rgb)
+
+
+class Synthia(SegmentationDataset):
+    """datasets/synthia.py: uint16 PNGs (imageio PNG-FI); the class id lives
+    in the first channel / high bits."""
+
+    def __init__(self, root: str, mode: str = "train", **kw):
+        super().__init__(mode=mode, **kw)
+        self.root = root
+        img_root = os.path.join(root, "RGB")
+        mask_root = os.path.join(root, "GT", "LABELS")
+        self.imgs = find_pairs(img_root, mask_root, ".png", ".png")
+
+    def decode_mask(self, mask_path: str) -> np.ndarray:
+        arr = _read_uint16_png(mask_path)
+        if arr.ndim == 3:  # RGBA uint16: class id in channel 0
+            arr = arr[..., 0]
+        return SYNTHIA_LUT[np.clip(arr, 0, 255).astype(np.uint8)]
+
+
+class BDD100K(SegmentationDataset):
+    """datasets/bdd100k.py: masks are already trainIds (identity remap)."""
+
+    def __init__(self, root: str, mode: str = "train", **kw):
+        super().__init__(mode=mode, **kw)
+        split = "train" if mode == "train" else "val"
+        img_root = os.path.join(root, "seg", "images", split)
+        mask_root = os.path.join(root, "seg", "labels", split)
+        self.imgs = find_pairs(img_root, mask_root, ".jpg", "_train_id.png")
+
+    def decode_mask(self, mask_path: str) -> np.ndarray:
+        return np.asarray(Image.open(mask_path), np.uint8)
+
+
+class Mapillary(SegmentationDataset):
+    """datasets/mapillary.py: 66-class ids grouped to 19."""
+
+    def __init__(self, root: str, mode: str = "train", test: bool = False, **kw):
+        super().__init__(mode=mode, **kw)
+        split = "training" if mode == "train" else "validation"
+        img_root = os.path.join(root, split, "images")
+        mask_root = os.path.join(root, split, "labels")
+        self.imgs = find_pairs(img_root, mask_root, ".jpg", ".png")
+        if test:  # truncate for --test_mode (mapillary.py:237-240)
+            self.imgs = self.imgs[:200]
+
+    def decode_mask(self, mask_path: str) -> np.ndarray:
+        raw = np.asarray(Image.open(mask_path), np.uint8)
+        return MAPILLARY_LUT[raw]
+
+
+class IDD(SegmentationDataset):
+    """datasets/idd.py: level-3 ids pre-mapped to trainIds (identity)."""
+
+    def __init__(self, root: str, mode: str = "train", **kw):
+        super().__init__(mode=mode, **kw)
+        split = "train" if mode == "train" else "val"
+        img_root = os.path.join(root, "leftImg8bit_trainvaltest", "leftImg8bit", split)
+        mask_root = os.path.join(root, "gtFine_trainvaltest", "gtFine", split)
+        self.imgs = find_pairs(img_root, mask_root, "_leftImg8bit.png", "_gtFine_labelids.png")
+        if not self.imgs:
+            self.imgs = find_pairs(img_root, mask_root, ".png", ".png")
+
+    def decode_mask(self, mask_path: str) -> np.ndarray:
+        return np.asarray(Image.open(mask_path), np.uint8)
+
+
+class VideoFolder(SegmentationDataset):
+    """datasets/video_folder.py: label-free folder for qualitative demos."""
+
+    def __init__(self, folder: str, **kw):
+        super().__init__(mode="val", **kw)
+        exts = (".png", ".jpg", ".jpeg")
+        self.imgs = [
+            (os.path.join(folder, f), os.path.join(folder, f))
+            for f in sorted(os.listdir(folder))
+            if f.lower().endswith(exts)
+        ]
+
+    def decode_mask(self, mask_path: str) -> np.ndarray:
+        with Image.open(mask_path) as im:
+            w, h = im.size
+        return np.full((h, w), 255, np.uint8)
+
+
+class NullLoader(SegmentationDataset):
+    """Synthetic zeros dataset 'for Performance' (datasets/nullloader.py) --
+    the shape/perf fixture.  Unlike the reference's (which crashes on a
+    case-mismatch, SURVEY.md §2.4), this one works."""
+
+    def __init__(self, crop_size: int = 768, length: int = 2975, classes: int = 19, **kw):
+        kw.setdefault("mode", "train")
+        super().__init__(**kw)
+        self.crop_size = crop_size
+        self.length = length
+        self.classes = classes
+        self.imgs = [("null", "null")] * length
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, index):
+        import random as _r
+
+        rng = np.random.default_rng((self.seed * 1_000_003 + self.epoch) * 1_000_003 + index)
+        c = self.crop_size
+        img = rng.standard_normal((c, c, 3), dtype=np.float32)
+        mask = rng.integers(0, self.classes, (c, c)).astype(np.int32)
+        if self.eval_mode:
+            raw = (np.clip(img, -2, 2) * 60 + 128).astype(np.uint8)
+            return raw, mask, f"null_{index}"
+        return img, mask, f"null_{index}", mask.copy()
+
+    def decode_mask(self, mask_path):
+        raise NotImplementedError
+
+
+def _read_uint16_png(path: str) -> np.ndarray:
+    """Read a 16-bit PNG (Synthia GT) without imageio's FreeImage plugin."""
+    img = Image.open(path)
+    arr = np.asarray(img)
+    return arr
+
+
+DATASETS = {
+    "cityscapes": (Cityscapes, "cityscapes"),
+    "gtav": (GTAV, "GTAV"),
+    "synthia": (Synthia, "synthia"),
+    "bdd100k": (BDD100K, "bdd-100k"),
+    "mapillary": (Mapillary, "mapillary"),
+    "idd": (IDD, "idd"),
+    "null_loader": (NullLoader, None),
+}

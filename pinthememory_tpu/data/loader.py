@@ -1,0 +1,251 @@
+"""Loader assembly: domain-uniform batching, host sharding, prefetching.
+
+Reference: datasets/__init__.py:310-668 (setup_loaders),
+datasets/multi_loader.py (DomainUniformConcatDataset), datasets/sampler.py
+(DistributedSampler fork).  The rebuild replaces torch DataLoader with a
+thread-pool prefetch iterator producing contiguous numpy batches, and
+replaces rank-sharding with ``jax.process_index()`` sharding (data
+parallelism *within* a process is handled by GSPMD, so the sampler only
+shards across hosts).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from pinthememory_tpu.core.config import Config
+from pinthememory_tpu.data import joint_transforms as jt
+from pinthememory_tpu.data import transforms as xt
+from pinthememory_tpu.data.datasets import DATASETS, NullLoader
+
+
+class DomainUniformConcatDataset:
+    """One sample from *every* domain per index (multi_loader.py:14-103).
+
+    ``__getitem__`` returns stacked arrays with a leading domain axis; epoch
+    length is fixed at 2975 like the reference (multi_loader.py:55).
+    """
+
+    EPOCH_LEN = 2975
+
+    def __init__(self, datasets: Sequence, seed: int = 0):
+        self.datasets = list(datasets)
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+        for d in self.datasets:
+            d.set_epoch(epoch)
+
+    def __len__(self):
+        return self.EPOCH_LEN
+
+    def __getitem__(self, idx: int):
+        rng = np.random.default_rng((self.seed, self.epoch, idx))
+        imgs, masks, names, auxs = [], [], [], []
+        for d in self.datasets:
+            j = int(rng.integers(0, len(d)))
+            img, mask, name, aux = d[j]
+            imgs.append(img)
+            masks.append(mask)
+            names.append(name)
+            auxs.append(aux)
+        return (
+            np.stack(imgs),     # (D, H, W, C)
+            np.stack(masks),    # (D, H, W)
+            names,
+            np.stack(auxs),
+        )
+
+
+class ConcatDataset:
+    def __init__(self, datasets: Sequence):
+        self.datasets = list(datasets)
+        self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def set_epoch(self, epoch: int):
+        for d in self.datasets:
+            d.set_epoch(epoch)
+
+    def __len__(self):
+        return int(self._offsets[-1])
+
+    def __getitem__(self, idx: int):
+        k = int(np.searchsorted(self._offsets, idx, side="right") - 1)
+        return self.datasets[k][idx - int(self._offsets[k])]
+
+
+class ShardedSampler:
+    """Epoch-seeded shuffled index sampler sharded over hosts
+    (datasets/sampler.py:43-110, pad mode)."""
+
+    def __init__(self, dataset, shuffle=True, seed=0, num_shards=1, shard_id=0):
+        self.dataset = dataset
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_shards = num_shards
+        self.shard_id = shard_id
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __iter__(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            order = np.random.default_rng((self.seed, self.epoch)).permutation(n)
+        # pad to a multiple of num_shards (sampler.py pad behavior)
+        pad = (-len(order)) % self.num_shards
+        if pad:
+            order = np.concatenate([order, order[:pad]])
+        return iter(order[self.shard_id :: self.num_shards].tolist())
+
+    def __len__(self):
+        n = len(self.dataset)
+        return (n + self.num_shards - 1) // self.num_shards
+
+
+class DataLoader:
+    """Minimal multi-threaded map-style loader with prefetch."""
+
+    def __init__(self, dataset, batch_size: int, sampler=None, num_workers: int = 2,
+                 drop_last: bool = True, prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.sampler = sampler or ShardedSampler(dataset, shuffle=False)
+        self.num_workers = max(num_workers, 1)
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+
+    def __len__(self):
+        n = len(self.sampler)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator:
+        indices = list(self.sampler)
+        batches = [
+            indices[i : i + self.batch_size]
+            for i in range(0, len(indices), self.batch_size)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        if self.num_workers <= 1:
+            for b in batches:
+                yield _collate([self.dataset[i] for i in b])
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for b in batches:
+                    if stop.is_set():
+                        return
+                    q.put(_collate([self.dataset[i] for i in b]))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+
+
+def _collate(samples):
+    imgs = np.stack([s[0] for s in samples])
+    masks = np.stack([s[1] for s in samples])
+    names = [s[2] for s in samples]
+    if len(samples[0]) > 3:
+        auxs = np.stack([s[3] for s in samples])
+        return {"image": imgs, "gts": masks, "names": names, "aux_gts": auxs}
+    return {"image": imgs, "gts": masks, "names": names}
+
+
+def _expand_root(cfg: Config) -> str:
+    return os.path.expanduser(cfg.data.dataset_root)
+
+
+def build_dataset(name: str, cfg: Config, mode: str, **kw):
+    if name not in DATASETS:
+        raise ValueError(f"unknown dataset {name!r}; options: {sorted(DATASETS)}")
+    cls, subdir = DATASETS[name]
+    if cls is NullLoader:
+        return NullLoader(crop_size=cfg.train.crop_size, seed=cfg.train.seed, **kw)
+    root = os.path.join(_expand_root(cfg), subdir)
+    return cls(root, mode=mode, seed=cfg.train.seed, **kw)
+
+
+def setup_loaders(cfg: Config):
+    """Reference-shaped entry (datasets/__init__.py:310-668).
+
+    Returns (train_loader, val_loaders: dict, extra_val_loaders: dict).
+    """
+    d = cfg.data
+    joint = jt.build_train_joint_transform(
+        cfg.train.crop_size, crop_nopad=False, pre_size=d.pre_size,
+        scale_min=d.scale_min, scale_max=d.scale_max, rrotate=d.rrotate,
+    )
+    photo = xt.build_train_input_transform(d.color_aug, d.gblur, d.bblur)
+    meta = xt.build_meta_transform()
+
+    train_sets = []
+    for name in d.dataset:
+        ds = build_dataset(name, cfg, "train")
+        if not isinstance(ds, NullLoader):
+            ds.joint_transform = joint
+            ds.input_transform = photo
+            ds.meta_transform = meta
+            ds.image_in = d.image_in
+        train_sets.append(ds)
+
+    num_shards = 1
+    shard_id = 0
+    try:
+        import jax
+
+        num_shards = jax.process_count()
+        shard_id = jax.process_index()
+    except Exception:
+        pass
+
+    if len(train_sets) > 1:
+        train_set = DomainUniformConcatDataset(train_sets, seed=cfg.train.seed)
+    else:
+        train_set = train_sets[0]
+
+    train_loader = DataLoader(
+        train_set,
+        batch_size=cfg.train.bs_mult,
+        sampler=ShardedSampler(train_set, shuffle=True, seed=cfg.train.seed,
+                               num_shards=num_shards, shard_id=shard_id),
+        num_workers=d.num_workers,
+        drop_last=True,
+    )
+
+    val_loaders = {}
+    for name in d.val_dataset:
+        ds = build_dataset(name, cfg, "val", **(
+            {"eval_mode": cfg.eval.inference_mode} if name != "null_loader" else {}))
+        val_loaders[name] = DataLoader(
+            ds, batch_size=1,
+            sampler=ShardedSampler(ds, shuffle=False, num_shards=num_shards,
+                                   shard_id=shard_id),
+            num_workers=1, drop_last=False,
+        )
+
+    return train_loader, val_loaders

@@ -1,0 +1,180 @@
+"""Photometric (image-only) transforms, numpy/PIL, explicit RNG.
+
+Reference: transforms/transforms.py + the torchvision transforms the
+reference composes (datasets/__init__.py:74-144).  Every transform takes a
+``random.Random`` so the pipeline is replayable (the reference uses global
+RNG; SURVEY.md §5 calls for explicit seeding).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Callable, Sequence
+
+import numpy as np
+from PIL import Image, ImageEnhance
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+class Compose:
+    def __init__(self, transforms: Sequence[Callable]):
+        self.transforms = list(transforms)
+
+    def __call__(self, img, rng: random.Random):
+        for t in self.transforms:
+            img = t(img, rng)
+        return img
+
+
+class RandomApply:
+    def __init__(self, transforms: Sequence[Callable], p: float = 0.5):
+        self.transforms = list(transforms)
+        self.p = p
+
+    def __call__(self, img, rng: random.Random):
+        if rng.random() < self.p:
+            for t in self.transforms:
+                img = t(img, rng)
+        return img
+
+
+class ColorJitter:
+    """torchvision ColorJitter semantics: factors sampled uniformly from
+    [max(0, 1-v), 1+v] (hue from [-h, h]), applied in random order."""
+
+    def __init__(self, brightness=0.0, contrast=0.0, saturation=0.0, hue=0.0):
+        self.brightness = brightness
+        self.contrast = contrast
+        self.saturation = saturation
+        self.hue = hue
+
+    def __call__(self, img: Image.Image, rng: random.Random) -> Image.Image:
+        ops = []
+        if self.brightness > 0:
+            f = rng.uniform(max(0.0, 1 - self.brightness), 1 + self.brightness)
+            ops.append(lambda im, f=f: ImageEnhance.Brightness(im).enhance(f))
+        if self.contrast > 0:
+            f = rng.uniform(max(0.0, 1 - self.contrast), 1 + self.contrast)
+            ops.append(lambda im, f=f: ImageEnhance.Contrast(im).enhance(f))
+        if self.saturation > 0:
+            f = rng.uniform(max(0.0, 1 - self.saturation), 1 + self.saturation)
+            ops.append(lambda im, f=f: ImageEnhance.Color(im).enhance(f))
+        if self.hue > 0:
+            f = rng.uniform(-self.hue, self.hue)
+            ops.append(lambda im, f=f: _adjust_hue(im, f))
+        rng.shuffle(ops)
+        for op in ops:
+            img = op(img)
+        return img
+
+
+def _adjust_hue(img: Image.Image, factor: float) -> Image.Image:
+    """Shift hue by ``factor`` (in turns), torchvision-style."""
+    if abs(factor) < 1e-8:
+        return img
+    h, s, v = img.convert("HSV").split()
+    np_h = np.array(h, dtype=np.uint8)
+    np_h = (np_h.astype(np.int16) + int(factor * 255)) % 256
+    h = Image.fromarray(np_h.astype(np.uint8), "L")
+    return Image.merge("HSV", (h, s, v)).convert("RGB")
+
+
+class RandomGaussianBlur:
+    """skimage.filters.gaussian with sigma ~ U[0.15, 1.30]
+    (transforms/transforms.py:179-188), via scipy."""
+
+    def __call__(self, img: Image.Image, rng: random.Random) -> Image.Image:
+        from scipy.ndimage import gaussian_filter
+
+        sigma = 0.15 + rng.random() * 1.15
+        arr = np.asarray(img, dtype=np.float64) / 255.0
+        out = np.stack(
+            [gaussian_filter(arr[..., c], sigma, mode="nearest") for c in range(arr.shape[-1])],
+            axis=-1,
+        )
+        return Image.fromarray((out * 255).astype(np.uint8))
+
+
+class RandomBilateralBlur:
+    """Bilateral filter, sigma_spatial ~ U[0.05, 0.75]
+    (transforms/transforms.py:198-206).  Approximated with a small joint
+    bilateral implementation in numpy (skimage absent in this environment)."""
+
+    def __call__(self, img: Image.Image, rng: random.Random) -> Image.Image:
+        sigma_spatial = rng.uniform(0.05, 0.75)
+        arr = np.asarray(img, dtype=np.float32) / 255.0
+        out = _bilateral(arr, sigma_spatial=max(sigma_spatial, 0.3), sigma_color=0.1)
+        return Image.fromarray((np.clip(out, 0, 1) * 255).astype(np.uint8))
+
+
+def _bilateral(img: np.ndarray, sigma_spatial: float, sigma_color: float) -> np.ndarray:
+    radius = max(int(2 * sigma_spatial), 1)
+    h, w, c = img.shape
+    acc = np.zeros_like(img)
+    norm = np.zeros((h, w, 1), img.dtype)
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            sw = np.exp(-(dx * dx + dy * dy) / (2 * sigma_spatial**2))
+            shifted = np.roll(img, (dy, dx), axis=(0, 1))
+            cw = np.exp(-np.sum((shifted - img) ** 2, -1, keepdims=True) / (2 * sigma_color**2))
+            wgt = sw * cw
+            acc += wgt * shifted
+            norm += wgt
+    return acc / np.maximum(norm, 1e-8)
+
+
+class HideAndSeek:
+    """Grid occlusion (transforms/transforms.py:52-75): divide into a random
+    grid and zero each cell with p=0.5.  (Declared by the reference's
+    ``writeTF`` but effectively identity on the live path, memory.py:118.)"""
+
+    def __init__(self, grids=(0, 16, 32, 44, 56), p_hide: float = 0.5):
+        self.grids = grids
+        self.p_hide = p_hide
+
+    def __call__(self, img: np.ndarray, rng: random.Random) -> np.ndarray:
+        grid = rng.choice(list(self.grids))
+        if grid == 0:
+            return img
+        out = img.copy()
+        h, w = img.shape[:2]
+        for y in range(0, h, grid):
+            for x in range(0, w, grid):
+                if rng.random() <= self.p_hide:
+                    out[y : y + grid, x : x + grid] = 0
+        return out
+
+
+def to_float01(img: Image.Image) -> np.ndarray:
+    """ToTensor equivalent: HWC float32 in [0, 1]."""
+    return np.asarray(img, dtype=np.float32) / 255.0
+
+
+def normalize(img01: np.ndarray, image_in: bool = False) -> np.ndarray:
+    """ImageNet (or per-image, cityscapes.py:300-306) normalization."""
+    if image_in:
+        mean = img01.mean(axis=(0, 1))
+        std = img01.std(axis=(0, 1)) + 1e-5
+        return (img01 - mean) / std
+    return (img01 - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def build_train_input_transform(color_aug: float, gblur: bool, bblur: bool) -> Compose:
+    """Photometric pipeline (datasets/__init__.py:74-90).  NB the reference
+    always jitters with (0.4, 0.4, 0.4, 0.1) when color_aug > 0."""
+    ts: list = []
+    if color_aug > 0:
+        ts.append(RandomApply([ColorJitter(0.4, 0.4, 0.4, 0.1)], p=0.5))
+    if bblur:
+        ts.append(RandomBilateralBlur())
+    elif gblur:
+        ts.append(RandomGaussianBlur())
+    return Compose(ts)
+
+
+def build_meta_transform() -> Compose:
+    """The 'hard' meta-test photometric transform
+    (datasets/__init__.py:128-144)."""
+    return Compose([ColorJitter(0.8, 0.8, 0.8, 0.3), RandomGaussianBlur()])

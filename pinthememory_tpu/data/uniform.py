@@ -1,0 +1,105 @@
+"""Class-uniform sampling: per-class centroid extraction with JSON cache.
+
+Reference: datasets/uniform.py.  Each mask is tiled (default 1024^2); for
+every class present in a tile the class-pixel centroid is recorded; training
+epochs then mix ``class_uniform_pct`` centroid-anchored crops with random
+images (uniform.py:272-301).  The reference extracts centroids with an
+80-thread pool of scipy center_of_mass calls; here it's a vectorized numpy
+pass per image.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Sequence
+
+import numpy as np
+from PIL import Image
+
+
+def class_centroids_image(
+    mask: np.ndarray, tile_size: int = 1024, num_classes: int = 19
+) -> dict[int, list[tuple[int, int]]]:
+    """Per-class centroids per tile, (x, y) pixel coords like the reference."""
+    h, w = mask.shape
+    out: dict[int, list] = {c: [] for c in range(num_classes)}
+    for y0 in range(0, h, tile_size):
+        for x0 in range(0, w, tile_size):
+            patch = mask[y0 : y0 + tile_size, x0 : x0 + tile_size]
+            classes = np.unique(patch)
+            for c in classes:
+                if c >= num_classes:
+                    continue
+                ys, xs = np.nonzero(patch == c)
+                cy = int(ys.mean()) + y0
+                cx = int(xs.mean()) + x0
+                out[int(c)].append((cx, cy))
+    return out
+
+
+def build_centroids(
+    items: Sequence[tuple[str, str]],
+    decode_mask,
+    num_classes: int = 19,
+    tile_size: int = 1024,
+    cache_path: str | None = None,
+) -> dict[int, list]:
+    """centroids[class] = [(img_path, mask_path, (x, y), class), ...].
+
+    Cached as JSON keyed by mask path (uniform.py / cityscapes.py:367-380).
+    """
+    cache: dict = {}
+    if cache_path and os.path.exists(cache_path):
+        with open(cache_path) as f:
+            cache = json.load(f)
+
+    centroids: dict[int, list] = {c: [] for c in range(num_classes)}
+    dirty = False
+    for img_path, mask_path in items:
+        key = mask_path
+        if key in cache:
+            per_class = {int(c): v for c, v in cache[key].items()}
+        else:
+            mask = decode_mask(mask_path)
+            per_class = class_centroids_image(np.asarray(mask), tile_size, num_classes)
+            cache[key] = {str(c): v for c, v in per_class.items()}
+            dirty = True
+        for c, pts in per_class.items():
+            for (cx, cy) in pts:
+                centroids[c].append((img_path, mask_path, (cx, cy), c))
+
+    if cache_path and dirty:
+        os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
+        with open(cache_path, "w") as f:
+            json.dump(cache, f)
+    return centroids
+
+
+def build_epoch(
+    items: Sequence,
+    centroids: dict[int, list],
+    num_classes: int,
+    class_uniform_pct: float,
+    rng: np.random.Generator,
+) -> list:
+    """Mix random images with per-class centroid crops (uniform.py:272-301).
+
+    Output entries are either (img, mask) or (img, mask, centroid, class);
+    the RandomCrop consumes the centroid (joint_transforms.py:117-126).
+    """
+    if class_uniform_pct <= 0:
+        return list(items)
+    num_epoch = len(items)
+    num_rand = int((1 - class_uniform_pct) * num_epoch)
+    num_per_class = int(class_uniform_pct * num_epoch / num_classes)
+
+    idx = rng.permutation(len(items))[:num_rand]
+    epoch = [items[i] for i in idx]
+    for c in range(num_classes):
+        pool = centroids.get(c, [])
+        if not pool:
+            continue
+        take = rng.integers(0, len(pool), size=num_per_class)
+        epoch.extend(pool[i] for i in take)
+    return epoch

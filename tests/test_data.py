@@ -1,0 +1,122 @@
+"""Data pipeline tests: synthetic datasets, transforms, batching, sampling."""
+
+import numpy as np
+from PIL import Image
+
+from pinthememory_tpu.core.config import Config, DataConfig, TrainConfig
+from pinthememory_tpu.data import joint_transforms as jt
+from pinthememory_tpu.data import transforms as xt
+from pinthememory_tpu.data.datasets import MAPILLARY_LUT, SYNTHIA_LUT, NullLoader
+from pinthememory_tpu.data.loader import (
+    DataLoader,
+    DomainUniformConcatDataset,
+    ShardedSampler,
+    setup_loaders,
+)
+from pinthememory_tpu.data.uniform import build_epoch, class_centroids_image
+import random
+
+
+def test_null_loader_shapes_and_determinism():
+    ds = NullLoader(crop_size=64, length=10, seed=3)
+    img, mask, name, aux = ds[0]
+    assert img.shape == (64, 64, 3) and mask.shape == (64, 64)
+    assert mask.min() >= 0 and mask.max() < 19
+    img2, mask2, _, _ = ds[0]
+    np.testing.assert_array_equal(mask, mask2)
+    np.testing.assert_array_equal(img, img2)
+
+
+def test_domain_uniform_concat_stacks_domains():
+    d1 = NullLoader(crop_size=32, length=7, seed=0)
+    d2 = NullLoader(crop_size=32, length=5, seed=1)
+    ds = DomainUniformConcatDataset([d1, d2], seed=0)
+    imgs, masks, names, auxs = ds[0]
+    assert imgs.shape == (2, 32, 32, 3)
+    assert masks.shape == (2, 32, 32)
+    assert len(ds) == 2975  # hardcoded like the reference (multi_loader.py:55)
+
+
+def test_loader_batches_bdhwc():
+    d1 = NullLoader(crop_size=16, length=10, seed=0)
+    d2 = NullLoader(crop_size=16, length=10, seed=1)
+    ds = DomainUniformConcatDataset([d1, d2], seed=0)
+    loader = DataLoader(ds, batch_size=3, num_workers=2)
+    batch = next(iter(loader))
+    assert batch["image"].shape == (3, 2, 16, 16, 3)
+    assert batch["gts"].shape == (3, 2, 16, 16)
+    assert batch["aux_gts"].shape == (3, 2, 16, 16)
+
+
+def test_sharded_sampler_partitions():
+    ds = NullLoader(crop_size=8, length=10)
+    shards = [list(ShardedSampler(ds, shuffle=True, seed=1, num_shards=4, shard_id=i))
+              for i in range(4)]
+    assert all(len(s) == 3 for s in shards)  # padded to 12
+    all_idx = [i for s in shards for i in s]
+    assert set(all_idx) == set(range(10))
+
+
+def test_setup_loaders_null():
+    cfg = Config(
+        train=TrainConfig(bs_mult=2, crop_size=32),
+        data=DataConfig(dataset=("null_loader", "null_loader"),
+                        val_dataset=("null_loader",)),
+    )
+    train_loader, val_loaders = setup_loaders(cfg)
+    batch = next(iter(train_loader))
+    assert batch["image"].shape == (2, 2, 32, 32, 3)
+    assert "null_loader" in val_loaders
+
+
+def test_joint_transform_geometry():
+    rng = random.Random(0)
+    img = Image.fromarray(np.random.default_rng(0).integers(0, 255, (100, 140, 3), np.uint8))
+    mask = Image.fromarray(np.random.default_rng(1).integers(0, 19, (100, 140), np.uint8), "L")
+    t = jt.build_train_joint_transform(64, crop_nopad=False, pre_size=None,
+                                       scale_min=0.5, scale_max=2.0, rrotate=0)
+    for i in range(5):
+        im2, mk2 = t(img, mask, random.Random(i))
+        assert im2.size == (64, 64) and mk2.size == (64, 64)
+
+
+def test_centercroppad_pads_with_ignore():
+    img = Image.new("RGB", (50, 40))
+    mask = Image.new("L", (50, 40), color=3)
+    t = jt.CenterCropPad(64, ignore_index=255)
+    im2, mk2 = t(img, mask)
+    assert im2.size == (64, 64)
+    m = np.asarray(mk2)
+    assert (m == 255).any() and (m == 3).any()
+
+
+def test_color_jitter_changes_image_but_not_shape():
+    img = Image.fromarray(np.random.default_rng(0).integers(0, 255, (32, 32, 3), np.uint8))
+    cj = xt.ColorJitter(0.8, 0.8, 0.8, 0.3)
+    out = cj(img, random.Random(0))
+    assert out.size == img.size
+    assert not np.array_equal(np.asarray(out), np.asarray(img))
+
+
+def test_synthia_and_mapillary_luts():
+    assert SYNTHIA_LUT[3] == 0     # road
+    assert SYNTHIA_LUT[1] == 10    # sky
+    assert SYNTHIA_LUT[22] == 255  # lane marking -> ignore
+    assert MAPILLARY_LUT[13] == 0  # road
+    assert MAPILLARY_LUT[55] == 13  # car
+    assert MAPILLARY_LUT[0] == 255
+
+
+def test_class_centroids_and_build_epoch():
+    mask = np.full((64, 64), 255, np.uint8)
+    mask[:8, :8] = 3
+    mask[40:48, 40:60] = 7
+    cents = class_centroids_image(mask, tile_size=64)
+    assert len(cents[3]) == 1 and len(cents[7]) == 1
+    (cx, cy) = cents[3][0]
+    assert cx == 3 and cy == 3
+    items = [(f"img{i}", f"mask{i}") for i in range(100)]
+    centroids = {c: [(f"img0", "mask0", (1, 1), c)] for c in range(19)}
+    epoch = build_epoch(items, centroids, 19, 0.5, np.random.default_rng(0))
+    assert len(epoch) >= 50
+    assert any(len(e) == 4 for e in epoch)
