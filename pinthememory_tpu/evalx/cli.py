@@ -1,0 +1,141 @@
+"""Evaluation entry point: ``python -m pinthememory_tpu.evalx.cli --...``.
+
+Mirrors the reference eval CLI (eval.py:62-110,705-789): restore a snapshot
+(msgpack or reference ``.pth``), run sliding or pooling inference over the
+chosen dataset, stream the confusion matrix, report per-class IoU and mIoU,
+optionally dump colorized predictions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pinthememory_tpu.core.labels import TRAINID_NAMES, trainid_palette
+from pinthememory_tpu.core.metrics import confusion_matrix, format_class_table, mean_iu
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Pin-the-Memory TPU evaluation")
+    p.add_argument("--arch", type=str, default="DeepR50V3PlusD")
+    p.add_argument("--memory", action="store_true")
+    p.add_argument("--mem_slot", type=int, default=19)
+    p.add_argument("--mem_dim", type=int, default=256)
+    p.add_argument("--dataset", type=str, default="cityscapes")
+    p.add_argument("--dataset_root", type=str, default="~/dg_seg_dataset")
+    p.add_argument("--snapshot", type=str, default=None,
+                   help=".pth (reference) or .msgpack (native) checkpoint")
+    p.add_argument("--inference_mode", default="sliding",
+                   choices=["sliding", "pooling"])
+    p.add_argument("--scales", type=str, default="1.0")
+    p.add_argument("--no_flip", action="store_true")
+    p.add_argument("--crop_size", type=int, default=768)
+    p.add_argument("--sliding_overlap", type=float, default=1 / 3)
+    p.add_argument("--dump_images", action="store_true")
+    p.add_argument("--results_dir", type=str, default="./eval_results")
+    p.add_argument("--test_mode", action="store_true")
+    p.add_argument("--max_images", type=int, default=0)
+    p.add_argument("--model_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from pinthememory_tpu.core.config import Config, DataConfig, MemoryConfig, ModelConfig
+    from pinthememory_tpu.data.loader import build_dataset
+    from pinthememory_tpu.evalx.pooling import PoolingEvaluator
+    from pinthememory_tpu.evalx.sliding import SlidingEvaluator
+    from pinthememory_tpu.models import build_model
+    from pinthememory_tpu.models.memory import init_memory
+    from pinthememory_tpu.utils.checkpoint import load_state, load_torch_snapshot
+
+    mc = ModelConfig(
+        arch=args.arch,
+        memory=MemoryConfig(enabled=args.memory, mem_slot=args.mem_slot,
+                            mem_dim=args.mem_dim),
+        dtype=args.model_dtype,
+    )
+    model = build_model(mc)
+    m_items = (init_memory(jax.random.PRNGKey(1), args.mem_slot, args.mem_dim)
+               if args.memory else None)
+    hw = (args.crop_size, args.crop_size)
+    init_fn = jax.jit(functools.partial(
+        model.init, train=False, with_aux=True, memory_writing=args.memory))
+    variables = init_fn(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, *hw, 3), jnp.float32),
+        jnp.zeros((1, *hw), jnp.int32), m_items, rng=jax.random.PRNGKey(2))
+
+    if args.snapshot:
+        if args.snapshot.endswith(".pth"):
+            variables, loaded_m, report = load_torch_snapshot(
+                args.snapshot, variables, three_stem="R101" in args.arch)
+            if loaded_m is not None:
+                m_items = jnp.asarray(loaded_m)
+            print(f"restored {args.snapshot}: {report}")
+        else:
+            from pinthememory_tpu.train.state import create_train_state
+
+            cfg_t = Config(model=mc)
+            state, _ = create_train_state(cfg_t, variables, m_items)
+            state, meta = load_state(args.snapshot, state)
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            m_items = state.m_items
+            print(f"restored {args.snapshot}: {meta}")
+
+    def apply_fn(tiles):
+        out = model.apply(variables, tiles, None, m_items, train=False, with_aux=False)
+        return out["main_out"]
+
+    scales = tuple(float(s) for s in args.scales.split(","))
+    if args.inference_mode == "sliding":
+        ev = SlidingEvaluator(apply_fn, scales=scales, flip=not args.no_flip,
+                              crop_size=args.crop_size, overlap=args.sliding_overlap)
+    else:
+        ev = PoolingEvaluator(apply_fn, scales=scales, flip=not args.no_flip)
+
+    cfg = Config(model=mc, data=DataConfig(dataset_root=args.dataset_root))
+    ds = build_dataset(args.dataset, cfg, "val", eval_mode=args.inference_mode)
+    if args.test_mode:
+        args.max_images = args.max_images or 6
+
+    palette = trainid_palette()
+    os.makedirs(args.results_dir, exist_ok=True)
+    hist = None
+    times = []
+    n = len(ds)
+    if args.max_images:
+        n = min(n, args.max_images)
+    for i in range(n):
+        raw, gt, name = ds[i]
+        t0 = time.time()
+        pred = ev.predict(raw)
+        times.append(time.time() - t0)
+        h = confusion_matrix(jnp.asarray(pred), jnp.asarray(gt), 19)
+        hist = h if hist is None else hist + h
+        if args.dump_images:
+            from PIL import Image
+
+            Image.fromarray(palette[pred]).save(
+                os.path.join(args.results_dir, f"{name}_pred.png"))
+        if i % 10 == 0:
+            print(f"[{i + 1}/{n}] {name}: cum mIoU {mean_iu(hist) * 100:.2f} "
+                  f"({1.0 / np.mean(times):.2f} img/s)")
+
+    if hist is not None:
+        print(format_class_table(np.asarray(hist), TRAINID_NAMES))
+        print(f"throughput: {1.0 / np.mean(times):.3f} images/sec"
+              f" (first image includes compile)")
+
+
+if __name__ == "__main__":
+    main()

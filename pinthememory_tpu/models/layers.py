@@ -96,6 +96,7 @@ def apply_iw_hook(
     taps: list,
     features: int,
     name: str,
+    train: bool = False,
 ) -> jnp.ndarray:
     """Apply the position's whitening op; append the tap for codes 1/2.
 
@@ -111,4 +112,10 @@ def apply_iw_hook(
         return instance_norm(x)
     if iw == IW_INSTANCE_AFF:
         return InstanceNormAffine(features, name=f"{name}_in_affine", parent=module)(x)
+    if iw == IW_SWITCH:
+        from pinthememory_tpu.models.switchwhiten import SyncSwitchWhiten2d
+
+        return SyncSwitchWhiten2d(
+            num_features=features, name=f"{name}_switchwhiten", parent=module
+        )(x, train=train)
     return x

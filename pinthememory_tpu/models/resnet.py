@@ -62,7 +62,7 @@ class BasicBlock(nn.Module):
             residual = batch_norm(self.dtype, name="downsample_bn")(
                 residual, use_running_average=not train)
         out = out + residual
-        out = apply_iw_hook(self, out, self.iw, taps, self.planes, "post")
+        out = apply_iw_hook(self, out, self.iw, taps, self.planes, "post", train)
         return nn.relu(out)
 
 
@@ -99,7 +99,7 @@ class Bottleneck(nn.Module):
             residual = batch_norm(self.dtype, name="downsample_bn")(
                 residual, use_running_average=not train)
         out = out + residual
-        out = apply_iw_hook(self, out, self.iw, taps, out_planes, "post")
+        out = apply_iw_hook(self, out, self.iw, taps, out_planes, "post", train)
         return nn.relu(out)
 
 
@@ -162,16 +162,9 @@ class ResNetBackbone(nn.Module):
     def __call__(self, x, train: bool = False):
         taps: list = []
         wt = tuple(self.wt_layer)
-        for code in wt:
-            if code == IW_SWITCH:
-                raise NotImplementedError(
-                    "SyncSwitchWhiten (wt_layer code 5) is provided by "
-                    "models.switchwhiten and wired in a later stage"
-                )
-
         def stem_norm(pos: int, feats: int, name: str, h):
-            if wt[pos] in (IW_WHITEN, IW_WHITEN_ISW) or wt[pos] in (3, 4):
-                return apply_iw_hook(self, h, wt[pos], taps, feats, name)
+            if wt[pos] in (IW_WHITEN, IW_WHITEN_ISW, 3, 4, IW_SWITCH):
+                return apply_iw_hook(self, h, wt[pos], taps, feats, name, train)
             return batch_norm(self.dtype, name=name)(h, use_running_average=not train)
 
         if self.three_stem:

@@ -1,0 +1,340 @@
+"""Training entry point: ``python -m pinthememory_tpu.train.cli --...``.
+
+Mirrors the reference CLI (train.py:1083-1221) flag-for-flag where the flag
+is meaningful in the rebuild; orchestration follows ``MemoryMetaFrameWork``
+(train.py:43-197): seed, loaders, model, optimizer, memory prototype init,
+epoch loop dispatching to one of the four episodes, periodic logging,
+checkpointing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pinthememory_tpu.core.config import (
+    Config,
+    DataConfig,
+    EvalConfig,
+    MemoryConfig,
+    ModelConfig,
+    OptimConfig,
+    TrainConfig,
+    WhiteningConfig,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Pin-the-Memory TPU training")
+    # model / memory / whitening block (reference parse_for_modelassign,
+    # train.py:1045-1079)
+    p.add_argument("--arch", type=str, default="DeepR50V3PlusD")
+    p.add_argument("--wt_layer", nargs="*", type=int, default=[0] * 7)
+    p.add_argument("--wt_reg_weight", type=float, default=0.0)
+    p.add_argument("--relax_denom", type=float, default=0.0)
+    p.add_argument("--clusters", type=int, default=50)
+    p.add_argument("--cov_stat_epoch", type=int, default=0)
+    p.add_argument("--memory", action="store_true")
+    p.add_argument("--mem_slot", type=int, default=19)
+    p.add_argument("--mem_dim", type=int, default=256)
+    p.add_argument("--mem_momentum", type=float, default=0.8)
+    p.add_argument("--mem_temp", type=float, default=1.0)
+    p.add_argument("--gumbel_off", action="store_true")
+    # data
+    p.add_argument("--dataset", nargs="*", default=["gtav", "synthia"])
+    p.add_argument("--val_dataset", nargs="*", default=["cityscapes", "bdd100k", "mapillary"])
+    p.add_argument("--dataset_root", type=str, default="~/dg_seg_dataset")
+    p.add_argument("--cv", type=int, default=0)
+    p.add_argument("--class_uniform_pct", type=float, default=0.0)
+    p.add_argument("--class_uniform_tile", type=int, default=1024)
+    p.add_argument("--crop_size", type=int, default=768)
+    p.add_argument("--pre_size", type=int, default=None)
+    p.add_argument("--scale_min", type=float, default=0.5)
+    p.add_argument("--scale_max", type=float, default=2.0)
+    p.add_argument("--color_aug", type=float, default=0.0)
+    p.add_argument("--gblur", action="store_true")
+    p.add_argument("--bblur", action="store_true")
+    p.add_argument("--rrotate", type=int, default=0)
+    p.add_argument("--image_in", action="store_true")
+    p.add_argument("--num_workers", type=int, default=8)
+    # optimization
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--weight_decay", type=float, default=5e-4)
+    p.add_argument("--poly_exp", type=float, default=9.0)
+    p.add_argument("--max_iter", type=int, default=120000)
+    p.add_argument("--max_epoch", type=int, default=40)
+    p.add_argument("--bs_mult", type=int, default=4)
+    p.add_argument("--bs_mult_val", type=int, default=1)
+    # episodes
+    p.add_argument("--mldg", action="store_true")
+    p.add_argument("--inner_lr", type=float, default=0.001)
+    p.add_argument("--inner_lr_anneal", action="store_true")
+    p.add_argument("--no_aux_loss", action="store_true")
+    p.add_argument("--mem_readloss", type=float, default=0.02)
+    p.add_argument("--mem_divloss", type=float, default=0.4)
+    p.add_argument("--mem_clsloss", type=float, default=0.2)
+    p.add_argument("--img_wt_loss", action="store_true")
+    p.add_argument("--cls_wt_loss", action="store_true")
+    p.add_argument("--jointwtborder", action="store_true")
+    p.add_argument("--wt_bound", type=float, default=1.0)
+    # infra
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--date", type=str, default="0000")
+    p.add_argument("--exp", type=str, default="default")
+    p.add_argument("--ckpt", type=str, default="./logs/ckpt")
+    p.add_argument("--tb_path", type=str, default="./logs/tb")
+    p.add_argument("--snapshot", type=str, default=None)
+    p.add_argument("--restore_optimizer", action="store_true")
+    p.add_argument("--test_mode", action="store_true")
+    p.add_argument("--model_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> Config:
+    if args.test_mode:
+        # smoke semantics (train.py:55-60,107-109): tiny crop, tiny batch
+        args.crop_size = min(args.crop_size, 240)
+        args.bs_mult = min(args.bs_mult, 2)
+        args.max_iter = min(args.max_iter, 60)
+
+    return Config(
+        model=ModelConfig(
+            arch=args.arch,
+            memory=MemoryConfig(
+                enabled=args.memory,
+                mem_slot=args.mem_slot,
+                mem_dim=args.mem_dim,
+                mem_momentum=args.mem_momentum,
+                mem_temp=args.mem_temp,
+                gumbel_read=not args.gumbel_off,
+            ),
+            whitening=WhiteningConfig(
+                wt_layer=tuple(args.wt_layer),
+                wt_reg_weight=args.wt_reg_weight,
+                relax_denom=args.relax_denom,
+                clusters=args.clusters,
+                cov_stat_epoch=args.cov_stat_epoch,
+            ),
+            dtype=args.model_dtype,
+        ),
+        optim=OptimConfig(
+            lr=args.lr, momentum=args.momentum, weight_decay=args.weight_decay,
+            poly_exp=args.poly_exp,
+        ),
+        train=TrainConfig(
+            max_iter=args.max_iter, max_epoch=args.max_epoch,
+            bs_mult=args.bs_mult, bs_mult_val=args.bs_mult_val,
+            crop_size=args.crop_size, mldg=args.mldg, inner_lr=args.inner_lr,
+            inner_lr_anneal=args.inner_lr_anneal, no_aux_loss=args.no_aux_loss,
+            mem_readloss=args.mem_readloss, mem_divloss=args.mem_divloss,
+            mem_clsloss=args.mem_clsloss, img_wt_loss=args.img_wt_loss,
+            cls_wt_loss=args.cls_wt_loss, jointwtborder=args.jointwtborder,
+            wt_bound=args.wt_bound, test_mode=args.test_mode, seed=args.seed,
+        ),
+        data=DataConfig(
+            dataset=tuple(args.dataset), val_dataset=tuple(args.val_dataset),
+            cv=args.cv, class_uniform_pct=args.class_uniform_pct,
+            class_uniform_tile=args.class_uniform_tile,
+            scale_min=args.scale_min, scale_max=args.scale_max,
+            pre_size=args.pre_size, color_aug=args.color_aug,
+            gblur=args.gblur, bblur=args.bblur, rrotate=args.rrotate,
+            image_in=args.image_in, num_workers=args.num_workers,
+            dataset_root=args.dataset_root,
+        ),
+        exp=args.exp, date=args.date, ckpt=args.ckpt, tb_path=args.tb_path,
+        snapshot=args.snapshot, restore_optimizer=args.restore_optimizer,
+    )
+
+
+class Trainer:
+    """Reference MemoryMetaFrameWork, functional style (train.py:43-197)."""
+
+    def __init__(self, cfg: Config):
+        from pinthememory_tpu.data import setup_loaders
+        from pinthememory_tpu.models import build_model
+        from pinthememory_tpu.models.memory import init_memory
+        from pinthememory_tpu.train.loops import (
+            make_eval_step,
+            make_memory_init_step,
+            make_train_step_agg,
+            make_train_step_mldg,
+        )
+        from pinthememory_tpu.train.optim import lr_schedule
+        from pinthememory_tpu.train.state import create_train_state
+        from pinthememory_tpu.utils.checkpoint import CheckpointManager, load_torch_snapshot
+        from pinthememory_tpu.utils.logx import ExperimentLogger
+
+        self.cfg = cfg
+        self.log = ExperimentLogger(cfg)
+        self.train_loader, self.val_loaders = setup_loaders(cfg)
+
+        self.model = build_model(cfg.model)
+        key = jax.random.PRNGKey(cfg.train.seed)
+        kp, km, kr = jax.random.split(key, 3)
+        hw = (cfg.train.crop_size, cfg.train.crop_size)
+        m_items = (
+            init_memory(km, cfg.model.memory.mem_slot, cfg.model.memory.mem_dim)
+            if cfg.model.memory.enabled else None
+        )
+        init_fn = jax.jit(functools.partial(
+            self.model.init, train=False, with_aux=True,
+            memory_writing=cfg.model.memory.enabled,
+        ))
+        variables = init_fn(
+            {"params": kp}, jnp.zeros((1, *hw, 3), jnp.float32),
+            jnp.zeros((1, *hw), jnp.int32), m_items, rng=kr,
+        )
+
+        if cfg.snapshot:
+            three_stem = "R101" in cfg.model.arch
+            variables, loaded_m, report = load_torch_snapshot(
+                cfg.snapshot, variables, three_stem)
+            if loaded_m is not None:
+                m_items = jnp.asarray(loaded_m)
+            self.log.info(f"restored snapshot {cfg.snapshot}: {report}")
+
+        self.state, self.tx = create_train_state(cfg, variables, m_items)
+        self.step_agg = make_train_step_agg(self.model, cfg, self.tx)
+        self.step_mldg = make_train_step_mldg(self.model, cfg, self.tx)
+        self.eval_step = make_eval_step(self.model, cfg)
+        self.mem_init_step = make_memory_init_step(self.model)
+        self.lr_fn = lr_schedule(cfg.optim)
+        self.ckpt_mgr = CheckpointManager(self.log.exp_dir)
+        self.epoch = 0
+        self.rng = jax.random.PRNGKey(cfg.train.seed + 1)
+        self.np_rng = np.random.default_rng(cfg.train.seed + 2)
+        self.num_domains = len(cfg.data.dataset)
+        self.inner_lr = cfg.train.inner_lr
+
+    # -- memory prototype initialization (train.py:1000-1042) -------------
+    def memory_initialize(self):
+        cfg = self.cfg
+        M, D = cfg.model.memory.mem_slot, cfg.model.memory.mem_dim
+        basket = jnp.zeros((M, D), jnp.float32)
+        count = jnp.zeros((M,), jnp.float32)
+        variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
+        epochs = 1 if cfg.train.test_mode else 2
+        for ep in range(epochs):
+            for it, batch in enumerate(self.train_loader):
+                img = batch["image"].reshape((-1,) + batch["image"].shape[-3:])
+                gts = batch["gts"].reshape((-1,) + batch["gts"].shape[-2:])
+                basket, count = self.mem_init_step(
+                    variables, self.state.m_items, jnp.asarray(img),
+                    jnp.asarray(gts), basket, count)
+                if cfg.train.test_mode and it >= 10:
+                    break
+        from pinthememory_tpu.train.loops import finalize_memory_init
+
+        self.state = self.state.replace(m_items=finalize_memory_init(basket, count))
+        self.log.info("memory prototypes initialized")
+
+    def do_epoch(self) -> bool:
+        """One epoch; returns False when max_iter is reached."""
+        from pinthememory_tpu.train.loops import meta_split
+
+        cfg = self.cfg
+        t_ep = time.time()
+        if hasattr(self.train_loader.dataset, "set_epoch"):
+            self.train_loader.dataset.set_epoch(self.epoch)
+        self.train_loader.sampler.set_epoch(self.epoch)
+
+        for i, batch in enumerate(self.train_loader):
+            step_no = int(self.state.step)
+            if step_no >= cfg.train.max_iter:
+                return False
+            self.rng, sub = jax.random.split(self.rng)
+            jbatch = {k: jnp.asarray(v) for k, v in batch.items() if k != "names"}
+            if jbatch["image"].ndim == 4:  # single domain -> add D axis
+                jbatch = {k: v[:, None] for k, v in jbatch.items()}
+
+            if cfg.train.mldg and self.num_domains > 1:
+                tr, te = meta_split(self.np_rng, self.num_domains)
+                self.state, metrics = self.step_mldg(
+                    self.state, jbatch, sub, tr, te, jnp.float32(self.inner_lr))
+                log_metrics = {f"inner_{k}": v for k, v in metrics["inner"].items()}
+                log_metrics.update({f"outer_{k}": v for k, v in metrics["outer"].items()})
+            else:
+                self.state, metrics = self.step_agg(self.state, jbatch, sub)
+                log_metrics = dict(metrics)
+
+            if cfg.train.inner_lr_anneal:
+                # inner_lr tracks lr/4 (train.py:625-626)
+                self.inner_lr = float(self.lr_fn(int(self.state.step))) / 4
+
+            if i % 50 == 49 or (cfg.train.test_mode and i == 0):
+                lr = float(self.lr_fn(int(self.state.step)))
+                self.log.info(
+                    f"[epoch {self.epoch}] [it {i + 1}/{len(self.train_loader)} "
+                    f": {int(self.state.step)}] "
+                    f"[loss {float(log_metrics.get('total', log_metrics.get('outer_total', 0.0))):.6f}] "
+                    f"[lr {lr:.6f}]")
+                self.log.scalars(int(self.state.step), log_metrics)
+
+            if cfg.train.test_mode and i > 5:
+                return False
+        self.log.info(f"epoch {self.epoch} done in {time.time() - t_ep:.1f}s")
+        return True
+
+    def validate(self, max_batches: int | None = None):
+        """Whole-image validation on each val loader (train.py:847-939)."""
+        from pinthememory_tpu.core.metrics import confusion_matrix, mean_iu
+        from pinthememory_tpu.evalx.sliding import normalize_image
+
+        results = {}
+        for name, loader in self.val_loaders.items():
+            hist = None
+            for bi, batch in enumerate(loader):
+                img = jnp.asarray(batch["image"])
+                if batch["image"].dtype == np.uint8:
+                    img = normalize_image(img)
+                img = img.astype(jnp.float32)
+                if img.ndim == 3:
+                    img = img[None]
+                logits = self.eval_step(self.state, img)
+                pred = jnp.argmax(logits, -1)
+                h = confusion_matrix(pred, jnp.asarray(batch["gts"]), 19)
+                hist = h if hist is None else hist + h
+                if max_batches and bi + 1 >= max_batches:
+                    break
+            if hist is not None:
+                results[name] = mean_iu(hist)
+                self.log.info(f"val {name}: mIoU {results[name] * 100:.2f}")
+                self.ckpt_mgr.maybe_save_best(self.state, name, self.epoch, results[name])
+        return results
+
+    def run(self):
+        cfg = self.cfg
+        if cfg.model.memory.enabled and cfg.snapshot is None:
+            self.memory_initialize()
+        while True:
+            more = self.do_epoch()
+            self.epoch += 1
+            if cfg.train.test_mode:
+                self.validate(max_batches=10)
+                break
+            if not more or self.epoch > cfg.train.max_epoch:
+                self.ckpt_mgr.save_last(self.state, self.epoch)
+                self.validate()
+                break
+        self.ckpt_mgr.save_last(self.state, self.epoch)
+        self.log.info("training complete")
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    Trainer(cfg).run()
+
+
+if __name__ == "__main__":
+    main()

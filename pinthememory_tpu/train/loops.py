@@ -33,9 +33,25 @@ import jax
 import jax.numpy as jnp
 
 from pinthememory_tpu.core.config import Config
+from pinthememory_tpu.models.instance_whitening import instance_whitening_loss
 from pinthememory_tpu.models.memory import l2_normalize, write_statistics, momentum_update
 from pinthememory_tpu.train.losses import LossBundle, assemble_losses
 from pinthememory_tpu.train.state import TrainState
+
+
+def whitening_loss_from_taps(taps, wt_masks) -> jnp.ndarray:
+    """Mean per-layer IW loss (deepv3plus.py:580-587).
+
+    ``wt_masks``: per whitened position (mask_matrix, margin, num_remove) --
+    IRW passes all-off-diagonal, ISW the sensitive-entry mask
+    (models/cov.py).
+    """
+    if not taps or wt_masks is None:
+        return jnp.zeros((), jnp.float32)
+    total = jnp.zeros((), jnp.float32)
+    for tap, (mask, margin, num_remove) in zip(taps, wt_masks):
+        total = total + instance_whitening_loss(tap, mask, margin, num_remove)
+    return total / len(taps)
 
 
 def _split_params(params: dict, key: str = "memory"):
@@ -81,8 +97,9 @@ def make_train_step_agg(model, cfg: Config, tx) -> Callable:
 
     use_memory = cfg.model.memory.enabled
 
-    @jax.jit
-    def step(state: TrainState, batch: dict, rng: jax.Array):
+    @functools.partial(jax.jit, static_argnames=("apply_wtloss",))
+    def step(state: TrainState, batch: dict, rng: jax.Array,
+             wt_masks=None, apply_wtloss: bool = True):
         flat = _flatten_domains(batch)
         mem_t = state.m_items
 
@@ -98,7 +115,9 @@ def make_train_step_agg(model, cfg: Config, tx) -> Callable:
                 writing_detach=False,
                 mutable=["batch_stats"],
             )
-            losses = assemble_losses(cfg, outputs, flat["gts"], flat["aux_gts"])
+            wt = whitening_loss_from_taps(outputs["taps"], wt_masks)
+            losses = assemble_losses(cfg, outputs, flat["gts"], flat["aux_gts"],
+                                     wt_loss=wt, apply_wtloss=apply_wtloss)
             return losses.total, (losses, mutated["batch_stats"])
 
         (_, (losses, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -144,7 +163,9 @@ def make_train_step_mldg(model, cfg: Config, tx) -> Callable:
 
     use_memory = cfg.model.memory.enabled
 
-    @functools.partial(jax.jit, static_argnames=("train_idx", "test_idx"))
+    @functools.partial(
+        jax.jit, static_argnames=("train_idx", "test_idx", "apply_wtloss")
+    )
     def step(
         state: TrainState,
         batch: dict,
@@ -152,6 +173,8 @@ def make_train_step_mldg(model, cfg: Config, tx) -> Callable:
         train_idx: tuple[int, ...],
         test_idx: tuple[int, ...],
         inner_lr: jnp.ndarray,
+        wt_masks=None,
+        apply_wtloss: bool = True,
     ):
         rng_inner, rng_write, rng_outer = jax.random.split(rng, 3)
         meta_train = _select_domains(batch, train_idx)
@@ -171,8 +194,10 @@ def make_train_step_mldg(model, cfg: Config, tx) -> Callable:
                 writing_detach=False,
                 mutable=["batch_stats"],
             )
+            wt = whitening_loss_from_taps(outputs["taps"], wt_masks)
             losses = assemble_losses(
-                cfg, outputs, meta_train["gts"], meta_train["aux_gts"]
+                cfg, outputs, meta_train["gts"], meta_train["aux_gts"],
+                wt_loss=wt, apply_wtloss=apply_wtloss,
             )
             return losses.total, (losses, mutated["batch_stats"])
 
@@ -217,7 +242,9 @@ def make_train_step_mldg(model, cfg: Config, tx) -> Callable:
                 memory_writing=False,
                 mutable=["batch_stats"],
             )
-            losses = assemble_losses(cfg, outputs, meta_test["gts"], meta_test["aux_gts"])
+            wt = whitening_loss_from_taps(outputs["taps"], wt_masks)
+            losses = assemble_losses(cfg, outputs, meta_test["gts"], meta_test["aux_gts"],
+                                     wt_loss=wt, apply_wtloss=apply_wtloss)
             return losses.total, losses
 
         (_, outer_losses), g_outer = jax.value_and_grad(outer_loss_fn, has_aux=True)(
@@ -271,6 +298,23 @@ def make_eval_step(model, cfg: Config) -> Callable:
             with_aux=False,
         )
         return outputs["main_out"]
+
+    return step
+
+
+def make_covstat_step(model) -> Callable:
+    """ISW covariance-statistics pass (train.py:941-974 +
+    deepv3plus.py:542-553): forward [photometric-aug, original] pairs in
+    eval mode and return each whitening tap's variance-of-covariance."""
+    from pinthememory_tpu.models.instance_whitening import covariance_variance_update
+
+    @jax.jit
+    def step(variables: dict, m_items, img_aug, img_orig):
+        x = jnp.concatenate([img_aug, img_orig], axis=0)
+        outputs = model.apply(
+            variables, x, None, m_items, train=False, with_aux=False
+        )
+        return [covariance_variance_update(t) for t in outputs["taps"]]
 
     return step
 

@@ -1,0 +1,78 @@
+"""Experiment logging: python logging + JSONL scalars (+TensorBoard if present).
+
+Reference: utils/misc.py:75-130 (per-rank log files, TensorBoardX writer,
+exp-name derived from non-default args).  TensorBoard is optional here; the
+always-on sink is a ``scalars.jsonl`` stream any plotting tool can consume.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from dataclasses import asdict, is_dataclass
+
+
+def exp_name_from_config(cfg) -> str:
+    """Compact experiment tag (spirit of utils/misc.py:24-63)."""
+    parts = [
+        cfg.model.arch,
+        "+".join(cfg.data.dataset),
+        "mldg" if cfg.train.mldg else "agg",
+    ]
+    if cfg.model.memory.enabled:
+        parts.append("mem")
+    if cfg.model.whitening.use_wtloss:
+        parts.append("wt" + "".join(map(str, cfg.model.whitening.wt_layer)))
+    return "_".join(parts)
+
+
+class ExperimentLogger:
+    def __init__(self, cfg, exp_dir: str | None = None):
+        name = exp_name_from_config(cfg)
+        stamp = time.strftime("%m_%d_%H")
+        self.exp_dir = exp_dir or os.path.join(cfg.ckpt, cfg.date, name, stamp)
+        os.makedirs(self.exp_dir, exist_ok=True)
+
+        self.logger = logging.getLogger("pinmem")
+        if not self.logger.handlers:
+            self.logger.setLevel(logging.INFO)
+            fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
+            fh = logging.FileHandler(os.path.join(self.exp_dir, "log.txt"))
+            fh.setFormatter(fmt)
+            sh = logging.StreamHandler()
+            sh.setFormatter(fmt)
+            self.logger.addHandler(fh)
+            self.logger.addHandler(sh)
+
+        self._scalars = open(os.path.join(self.exp_dir, "scalars.jsonl"), "a")
+        self._tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter  # optional
+
+            self._tb = SummaryWriter(os.path.join(self.exp_dir, "tb"))
+        except Exception:
+            pass
+
+        cfg_dict = asdict(cfg) if is_dataclass(cfg) else dict(cfg)
+        with open(os.path.join(self.exp_dir, "config.json"), "w") as f:
+            json.dump(cfg_dict, f, indent=1, default=str)
+
+    def info(self, msg: str):
+        self.logger.info(msg)
+
+    def scalars(self, step: int, values: dict, prefix: str = "loss"):
+        rec = {"step": step, **{f"{prefix}/{k}": _num(v) for k, v in values.items()}}
+        self._scalars.write(json.dumps(rec) + "\n")
+        self._scalars.flush()
+        if self._tb is not None:
+            for k, v in values.items():
+                self._tb.add_scalar(f"{prefix}/{k}", _num(v), step)
+
+
+def _num(v):
+    try:
+        return float(v)
+    except Exception:
+        return v

@@ -11,6 +11,9 @@ import os
 # Force CPU even when the environment points at a TPU (JAX_PLATFORMS=axon):
 # unit tests must be runnable anywhere and need the 8-device virtual mesh.
 # Real-TPU runs go through bench.py / the CLIs, not pytest.
+# NB: the axon sitecustomize registers its PJRT plugin (and hijacks the
+# platform) whenever PALLAS_AXON_POOL_IPS is set -- clear it first.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

@@ -1,0 +1,73 @@
+"""Sliding/pooling evaluator correctness tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pinthememory_tpu.evalx.sliding import SlidingEvaluator, normalize_image
+from pinthememory_tpu.evalx.pooling import PoolingEvaluator
+from pinthememory_tpu.evalx.tiling import compute_grid, extract_tiles, merge_tiles
+
+
+def test_grid_matches_reference_arithmetic():
+    # 2048x1024 image, crop 768, overlap 1/3 -> stride 512
+    g = compute_grid(1024, 2048, 768, 1.0, 1.0 / 3.0)
+    assert g.tile_h == g.tile_w == 768
+    xs = sorted({c[1] for c in g.coords})
+    ys = sorted({c[0] for c in g.coords})
+    assert xs == [0, 512, 1024, 1280]  # back-shifted last tile: 2048-768
+    assert ys == [0, 256]              # 1024-768
+    assert g.num_tiles == 8
+
+
+def test_grid_small_image_truncates_tile():
+    # scale 0.5 Cityscapes: 512x1024, tile 768 -> tile truncated to 512 rows
+    g = compute_grid(512, 1024, 768, 0.5, 1.0 / 3.0)
+    assert g.tile_h == 512 and g.tile_w == 768
+    assert all(y == 0 for (y, x) in g.coords)
+
+
+def test_extract_merge_roundtrip_identity():
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((100, 160, 5), dtype=np.float32))
+    g = compute_grid(100, 160, 64, 1.0, 0.25)
+    tiles = extract_tiles(img, g)
+    assert tiles.shape == (g.num_tiles, 64, 64, 5)
+    merged = merge_tiles(tiles, g)
+    # overlap-averaging identical values reconstructs the input exactly
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(img), rtol=1e-5, atol=1e-5)
+
+
+def _identity_apply(tiles):
+    """Fake model: logits = first input channel broadcast to 19 classes."""
+    return jnp.repeat(tiles[..., :1], 19, axis=-1)
+
+
+def test_sliding_evaluator_scale1_identity():
+    rng = np.random.default_rng(1)
+    raw = rng.integers(0, 255, (96, 128, 3), dtype=np.uint8)
+    ev = SlidingEvaluator(_identity_apply, crop_size=64, overlap=0.25,
+                          scales=(1.0,), flip=True)
+    logits = np.asarray(ev.predict_logits(raw))
+    expect = np.asarray(normalize_image(jnp.asarray(raw)))[..., 0]
+    np.testing.assert_allclose(logits[..., 0], expect, rtol=1e-4, atol=1e-4)
+    # all 19 channels identical -> argmax ties resolve to 0
+    assert (np.asarray(ev.predict(raw)) == 0).all()
+
+
+def test_sliding_evaluator_multiscale_shapes():
+    rng = np.random.default_rng(2)
+    raw = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+    ev = SlidingEvaluator(_identity_apply, crop_size=32, overlap=1 / 3,
+                          scales=(0.5, 1.0, 2.0), flip=True)
+    logits = ev.predict_logits(raw)
+    assert logits.shape == (64, 96, 19)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_pooling_evaluator_probs_normalized():
+    rng = np.random.default_rng(3)
+    raw = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+    ev = PoolingEvaluator(_identity_apply, scales=(1.0, 0.5), flip=True)
+    probs = np.asarray(ev.predict_probs(raw))
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
