@@ -97,25 +97,33 @@ def memory_read(
     """
     b, h, w, d = query.shape
     m = m_items.shape[0]
-    query_n = l2_normalize(query, axis=-1)
-    score = jnp.einsum("bhwd,md->bhwm", query_n, m_items, precision=_HP)
+    if gumbel:
+        # gumbel path: noise perturbs the scores before both softmaxes, so
+        # the plain jnp chain is used (XLA fuses it adequately).
+        assert rng is not None, "gumbel read requires an rng key"
+        query_n = l2_normalize(query, axis=-1)
+        score = jnp.einsum("bhwd,md->bhwm", query_n, m_items, precision=_HP)
+        flat = score.reshape(b * h * w, m)
+        kq, km = jax.random.split(rng)
+        score_query = gumbel_softmax(kq, flat, axis=0)
+        score_memory = gumbel_softmax(km, flat, axis=1)
+        retrieved = jnp.einsum("nm,md->nd", score_memory, m_items, precision=_HP)
+    else:
+        # fused Pallas kernel on TPU (ops/memory_kernel.py)
+        from pinthememory_tpu.ops.memory_kernel import fused_memory_read
+
+        qn_flat, flat, retrieved = fused_memory_read(
+            query.reshape(b * h * w, d), m_items
+        )
+        query_n = qn_flat.reshape(b, h, w, d)
+        score = flat.reshape(b, h, w, m)
+        score_query = jax.nn.softmax(flat, axis=0)
+        score_memory = jax.nn.softmax(flat, axis=1)
 
     if mask is not None:
         rloss = read_loss_from_score(score, mask, temperature, m)
     else:
         rloss = jnp.zeros((), jnp.float32)
-
-    flat = score.reshape(b * h * w, m)
-    if gumbel:
-        assert rng is not None, "gumbel read requires an rng key"
-        kq, km = jax.random.split(rng)
-        score_query = gumbel_softmax(kq, flat, axis=0)
-        score_memory = gumbel_softmax(km, flat, axis=1)
-    else:
-        score_query = jax.nn.softmax(flat, axis=0)
-        score_memory = jax.nn.softmax(flat, axis=1)
-
-    retrieved = jnp.einsum("nm,md->nd", score_memory, m_items, precision=_HP)
     return (
         query_n,
         retrieved.reshape(b, h, w, d),
