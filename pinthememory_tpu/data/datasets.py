@@ -150,6 +150,42 @@ class IDD(SegmentationDataset):
         return np.asarray(Image.open(mask_path), np.uint8)
 
 
+class KITTI(SegmentationDataset):
+    """datasets/kitti.py (legacy; unreachable from the reference's
+    setup_loaders): KITTI-2015 semantics, Cityscapes id masks."""
+
+    def __init__(self, root: str, mode: str = "train", **kw):
+        super().__init__(mode=mode, **kw)
+        img_root = os.path.join(root, "training", "image_2")
+        mask_root = os.path.join(root, "training", "semantic")
+        self.imgs = find_pairs(img_root, mask_root, ".png", ".png")
+
+    def decode_mask(self, mask_path: str) -> np.ndarray:
+        raw = np.asarray(Image.open(mask_path), np.uint8)
+        return _ID_LUT[raw]
+
+
+class CamVid(SegmentationDataset):
+    """datasets/camvid.py (legacy): 11-class CamVid; masks assumed id-coded,
+    mapped through the 11->19 grouping where classes correspond."""
+
+    CAMVID_TO_TRAINID = _lut_from_dict({
+        0: 10, 1: 2, 2: 5, 3: 0, 4: 1, 5: 8, 6: 7, 7: 4, 8: 13, 9: 11, 10: 18,
+        11: 255,
+    })
+
+    def __init__(self, root: str, mode: str = "train", **kw):
+        super().__init__(mode=mode, **kw)
+        split = "train" if mode == "train" else "val"
+        img_root = os.path.join(root, split)
+        mask_root = os.path.join(root, split + "annot")
+        self.imgs = find_pairs(img_root, mask_root, ".png", ".png")
+
+    def decode_mask(self, mask_path: str) -> np.ndarray:
+        raw = np.asarray(Image.open(mask_path), np.uint8)
+        return self.CAMVID_TO_TRAINID[raw]
+
+
 class VideoFolder(SegmentationDataset):
     """datasets/video_folder.py: label-free folder for qualitative demos."""
 
@@ -214,5 +250,7 @@ DATASETS = {
     "bdd100k": (BDD100K, "bdd-100k"),
     "mapillary": (Mapillary, "mapillary"),
     "idd": (IDD, "idd"),
+    "kitti": (KITTI, "kitti"),
+    "camvid": (CamVid, "camvid"),
     "null_loader": (NullLoader, None),
 }

@@ -147,6 +147,34 @@ class HideAndSeek:
         return out
 
 
+def relaxed_boundary_multihot(
+    mask: np.ndarray, num_classes: int = 19, ignore_id: int = 255, border: int = 1
+) -> np.ndarray:
+    """Border-relaxed multi-hot target (transforms/transforms.py:99-148).
+
+    Each pixel's target is the union of one-hot labels in the
+    (2*border+1)^2 window around it (out-of-range shifts fill with the
+    ignore slot).  Returns (H, W, num_classes+1) uint8, ignore in the last
+    channel.
+    """
+    m = mask.astype(np.int64).copy()
+    m[m == ignore_id] = num_classes
+    h, w = m.shape
+    out = np.zeros((h, w, num_classes + 1), np.uint8)
+    for dy in range(-border, border + 1):
+        for dx in range(-border, border + 1):
+            shifted = np.full_like(m, num_classes)
+            ys = slice(max(dy, 0), h + min(dy, 0))
+            yd = slice(max(-dy, 0), h + min(-dy, 0))
+            xs = slice(max(dx, 0), w + min(dx, 0))
+            xd = slice(max(-dx, 0), w + min(-dx, 0))
+            shifted[yd, xd] = m[ys, xs]
+            idx = np.arange(h * w)
+            flat = out.reshape(-1, num_classes + 1)
+            flat[idx, shifted.ravel()] = 1
+    return out
+
+
 def to_float01(img: Image.Image) -> np.ndarray:
     """ToTensor equivalent: HWC float32 in [0, 1]."""
     return np.asarray(img, dtype=np.float32) / 255.0

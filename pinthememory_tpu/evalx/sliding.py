@@ -80,17 +80,25 @@ class SlidingEvaluator:
 
         sh, sw = int(img_h * scale), int(img_w * scale)
         grid = compute_grid(sh, sw, self.crop_size, scale, self.overlap)
+        with_flip = self.flip
 
         @jax.jit
-        def run(raw_img: jnp.ndarray, do_flip: jnp.ndarray):
-            # raw_img: (H, W, 3) uint8/float [0..255] original resolution
+        def run(raw_img: jnp.ndarray):
+            # raw_img: (H, W, 3) uint8/float [0..255] original resolution.
+            # Both flip variants ride one program: the flipped image's tiles
+            # are batched with the originals so the model runs once.
             img = resize_pil_bilinear(raw_img.astype(jnp.float32), (sh, sw))
-            img = jnp.where(do_flip, img[:, ::-1, :], img)
             img = normalize_image(img)
             tiles = extract_tiles(img, grid)
-            logits = self.apply_fn(tiles)  # (T, th, tw, C)
-            merged = merge_tiles(logits.astype(jnp.float32), grid)
-            merged = jnp.where(do_flip, merged[:, ::-1, :], merged)
+            if with_flip:
+                tiles_f = extract_tiles(img[:, ::-1, :], grid)
+                logits = self.apply_fn(jnp.concatenate([tiles, tiles_f], axis=0))
+                lo, lf = jnp.split(logits.astype(jnp.float32), 2, axis=0)
+                merged = merge_tiles(lo, grid)
+                merged_f = merge_tiles(lf, grid)[:, ::-1, :]
+                merged = 0.5 * (merged + merged_f)
+            else:
+                merged = merge_tiles(self.apply_fn(tiles).astype(jnp.float32), grid)
             return resize_bilinear_half_pixel(merged, (img_h, img_w))
 
         self._programs[key] = run
@@ -101,18 +109,11 @@ class SlidingEvaluator:
         img_h, img_w = raw_img.shape[:2]
         raw = jnp.asarray(raw_img)
         acc = None
-        n = 0
         for scale in self.scales:
             run = self._scale_program(img_h, img_w, scale)
-            flips = (False, True) if self.flip else (False,)
-            per_scale = None
-            for f in flips:
-                out = run(raw, jnp.asarray(f))
-                per_scale = out if per_scale is None else per_scale + out
-            per_scale = per_scale / len(flips)
-            acc = per_scale if acc is None else acc + per_scale
-            n += 1
-        return acc / n
+            out = run(raw)
+            acc = out if acc is None else acc + out
+        return acc / len(self.scales)
 
     def predict(self, raw_img) -> np.ndarray:
         """(H, W) int32 class prediction."""

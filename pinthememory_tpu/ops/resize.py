@@ -102,9 +102,48 @@ def _pil_bilinear_matrix(in_size: int, out_size: int) -> np.ndarray:
     return a.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=256)
+def _half_pixel_taps(in_size: int, out_size: int):
+    """(lo_idx, hi_idx, frac) arrays for 2-tap half-pixel linear sampling."""
+    scale = in_size / out_size
+    coords = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
+    coords = np.clip(coords, 0, in_size - 1)
+    lo = np.floor(coords).astype(np.int32)
+    hi = np.clip(lo + 1, 0, in_size - 1)
+    frac = (coords - lo).astype(np.float32)
+    return lo, hi, frac
+
+
+def _gather_linear_axis(x: jnp.ndarray, out_size: int, axis: int) -> jnp.ndarray:
+    """2-tap linear resample along one axis via gathers.
+
+    O(out) work per element instead of the O(in x out) dense matmul -- the
+    right formulation for the eval merge's large class-probability maps.
+    """
+    lo, hi, frac = _half_pixel_taps(x.shape[axis], out_size)
+    xlo = jnp.take(x, jnp.asarray(lo), axis=axis)
+    xhi = jnp.take(x, jnp.asarray(hi), axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    f = jnp.asarray(frac).reshape(shape)
+    return xlo * (1.0 - f) + xhi * f
+
+
 def resize_bilinear_half_pixel(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
     """cv2.INTER_LINEAR / torch align_corners=False resize (NHWC/HWC)."""
-    return _apply_separable(x, out_hw, _linear_matrix_half_pixel)
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    _, h, w, _ = x.shape
+    oh, ow = out_hw
+    dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    xf = x.astype(jnp.float32)
+    if h != oh:
+        xf = _gather_linear_axis(xf, oh, axis=1)
+    if w != ow:
+        xf = _gather_linear_axis(xf, ow, axis=2)
+    out = xf.astype(dtype)
+    return out[0] if squeeze else out
 
 
 def resize_pil_bilinear(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:

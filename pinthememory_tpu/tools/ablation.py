@@ -1,0 +1,136 @@
+"""Ablation / visualization CLI: t-SNE baskets + memory activation maps.
+
+Reference: ablation.py (RunAbla.tsne_memact, 317-399): per image, collect
+class-mean features pre/post memory read into t-SNE baskets, and dump
+per-slot memory-activation heatmaps (the softmax_score_memory channel,
+viridis colormap blended over the image).
+
+Usage: ``python -m pinthememory_tpu.tools.ablation --memory --tsne
+--mem_actmap --dataset cityscapes --snapshot ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Pin-the-Memory TPU ablation")
+    p.add_argument("--arch", type=str, default="DeepR50V3PlusD")
+    p.add_argument("--memory", action="store_true")
+    p.add_argument("--snapshot", type=str, default=None)
+    p.add_argument("--dataset", nargs="*", default=["cityscapes"])
+    p.add_argument("--dataset_root", type=str, default="~/dg_seg_dataset")
+    p.add_argument("--tsne", action="store_true")
+    p.add_argument("--mem_actmap", action="store_true")
+    p.add_argument("--crop_size", type=int, default=768)
+    p.add_argument("--max_images", type=int, default=50)
+    p.add_argument("--results_dir", type=str, default="./abla_results")
+    p.add_argument("--test_mode", action="store_true")
+    return p
+
+
+def memact_heatmaps(raw_img: np.ndarray, score_memory: np.ndarray, out_dir: str,
+                    name: str, alpha: float = 0.5):
+    """Per-slot activation heatmaps blended over the image
+    (ablation.py:371-399)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.cm as cm
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    h, w = raw_img.shape[:2]
+    viridis = cm.get_cmap("viridis")
+    for slot in range(score_memory.shape[-1]):
+        act = score_memory[..., slot]
+        act = (act - act.min()) / max(act.max() - act.min(), 1e-8)
+        heat = (viridis(act)[..., :3] * 255).astype(np.uint8)
+        heat = np.asarray(Image.fromarray(heat).resize((w, h), Image.BILINEAR))
+        blend = (alpha * heat + (1 - alpha) * raw_img).astype(np.uint8)
+        Image.fromarray(blend).save(os.path.join(out_dir, f"{name}_slot{slot:02d}.png"))
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from pinthememory_tpu.core.config import Config, DataConfig, MemoryConfig, ModelConfig
+    from pinthememory_tpu.data.loader import build_dataset
+    from pinthememory_tpu.evalx.sliding import normalize_image
+    from pinthememory_tpu.models import build_model
+    from pinthememory_tpu.models.memory import init_memory
+    from pinthememory_tpu.ops.resize import resize_labels_nearest
+    from pinthememory_tpu.tools.tsne import TsneCollector
+    from pinthememory_tpu.utils.checkpoint import load_torch_snapshot
+
+    if args.test_mode:
+        args.max_images = 5
+
+    mc = ModelConfig(arch=args.arch, memory=MemoryConfig(enabled=args.memory))
+    model = build_model(mc)
+    m_items = init_memory(jax.random.PRNGKey(1), 19, 256) if args.memory else None
+    hw = (args.crop_size, args.crop_size)
+    init_fn = jax.jit(functools.partial(
+        model.init, train=False, with_aux=True, memory_writing=args.memory))
+    variables = init_fn(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, *hw, 3)),
+        jnp.zeros((1, *hw), jnp.int32), m_items, rng=jax.random.PRNGKey(2))
+    if args.snapshot:
+        variables, loaded_m, _ = load_torch_snapshot(
+            args.snapshot, variables, three_stem="R101" in args.arch)
+        if loaded_m is not None:
+            m_items = jnp.asarray(loaded_m)
+
+    @jax.jit
+    def forward(raw):
+        img = normalize_image(raw)
+        return model.apply(variables, img[None], None, m_items,
+                           train=False, with_aux=False)
+
+    collector = TsneCollector()
+    cfg = Config(model=mc, data=DataConfig(dataset_root=args.dataset_root))
+    from pinthememory_tpu.data.joint_transforms import CenterCropPad, ResizeHeight
+
+    for ds_name in args.dataset:
+        ds = build_dataset(ds_name, cfg, "val", eval_mode="pooling")
+        n = min(len(ds), args.max_images)
+        for i in range(n):
+            raw, gt, name = ds[i]
+            # center-crop-pad to a fixed size (ablation.py:160-163)
+            from PIL import Image as PILImage
+
+            pim = PILImage.fromarray(raw)
+            pma = PILImage.fromarray(gt.astype(np.uint8))
+            pim, pma = CenterCropPad(args.crop_size)(pim, pma)
+            raw = np.asarray(pim)
+            gt = np.asarray(pma).astype(np.int32)
+
+            out = forward(jnp.asarray(raw))
+            feat = np.asarray(out["inter_feature"][0])
+            lab = np.asarray(resize_labels_nearest(jnp.asarray(gt)[None],
+                                                   feat.shape[:2])[0])
+            if args.tsne:
+                collector.add_batch(feat, lab, ds_name)
+            if args.mem_actmap and out["mem"] is not None:
+                memact_heatmaps(
+                    raw, np.asarray(out["mem"].score_memory[0]),
+                    os.path.join(args.results_dir, "memact"), f"{ds_name}_{name}")
+
+    if args.tsne and collector.features:
+        if m_items is not None:
+            collector.add_memory(np.asarray(m_items))
+        collector.draw(os.path.join(args.results_dir, "tsne"))
+        print(f"t-SNE written to {args.results_dir}/tsne")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""t-SNE feature analysis: class/domain-colored embeddings incl. memory slots.
+
+Reference: tsnelib.py (RunTsne) -- accumulates L2-normalized class-mean
+feature vectors per (class, domain), embeds with MulticoreTSNE/tsnecuda
+(native deps), and scatter-plots by class color and by domain.  Here the
+embedding runs through scikit-learn's TSNE (analysis is off the hot path,
+SURVEY.md §2.6) and the accumulation is vectorized numpy.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from pinthememory_tpu.core.labels import TRAINID_NAMES, trainId2color
+
+
+class TsneCollector:
+    """Accumulate per-class mean features by domain (tsnelib.py:48-74)."""
+
+    def __init__(self, num_classes: int = 19, ignore_label: int = 255):
+        self.num_classes = num_classes
+        self.ignore_label = ignore_label
+        self.features: list[np.ndarray] = []
+        self.class_ids: list[int] = []
+        self.domains: list[str] = []
+        self.mem_items: np.ndarray | None = None
+
+    def add_batch(self, feats: np.ndarray, labels: np.ndarray, domain: str):
+        """feats: (H, W, D) (pre- or post-memory); labels: (H, W) trainIds
+        downsampled to feature resolution."""
+        feats = np.asarray(feats, np.float32)
+        labels = np.asarray(labels)
+        for c in range(self.num_classes):
+            m = labels == c
+            if m.sum() < 1:
+                continue
+            v = feats[m].mean(0)
+            n = np.linalg.norm(v)
+            if n > 0:
+                v = v / n
+            self.features.append(v)
+            self.class_ids.append(c)
+            self.domains.append(domain)
+
+    def add_memory(self, m_items: np.ndarray):
+        """Include the memory slots as markers (tsnelib.py input_memory_item)."""
+        self.mem_items = np.asarray(m_items, np.float32)
+
+    def embed(self, perplexity: float = 30.0, seed: int = 0) -> dict:
+        from sklearn.manifold import TSNE
+
+        feats = np.stack(self.features)
+        n_base = len(feats)
+        if self.mem_items is not None:
+            feats = np.concatenate([feats, self.mem_items], axis=0)
+        perplexity = min(perplexity, max(2, (len(feats) - 1) / 3))
+        emb = TSNE(
+            n_components=2, perplexity=perplexity, init="pca", random_state=seed
+        ).fit_transform(feats)
+        return {
+            "points": emb[:n_base],
+            "classes": np.asarray(self.class_ids),
+            "domains": np.asarray(self.domains),
+            "memory_points": emb[n_base:] if self.mem_items is not None else None,
+        }
+
+    def draw(self, out_dir: str, perplexity: float = 30.0, seed: int = 0):
+        """Class-colored and domain-colored scatters (tsnelib.py:88-216)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        res = self.embed(perplexity, seed)
+        os.makedirs(out_dir, exist_ok=True)
+
+        fig, ax = plt.subplots(figsize=(8, 8))
+        colors = np.array([trainId2color[c] for c in res["classes"]]) / 255.0
+        ax.scatter(res["points"][:, 0], res["points"][:, 1], c=colors, s=8)
+        if res["memory_points"] is not None:
+            mp = res["memory_points"]
+            mcol = np.array([trainId2color[i % 19] for i in range(len(mp))]) / 255.0
+            ax.scatter(mp[:, 0], mp[:, 1], c=mcol, s=120, marker="*",
+                       edgecolors="black", linewidths=0.8)
+        ax.set_title("t-SNE by class (stars = memory slots)")
+        fig.savefig(os.path.join(out_dir, "tsne_class.png"), dpi=150)
+        plt.close(fig)
+
+        fig, ax = plt.subplots(figsize=(8, 8))
+        domain_names = sorted(set(res["domains"]))
+        cmap = plt.get_cmap("tab10")
+        for i, d in enumerate(domain_names):
+            m = res["domains"] == d
+            ax.scatter(res["points"][m, 0], res["points"][m, 1],
+                       color=cmap(i % 10), s=8, label=d)
+        ax.legend()
+        ax.set_title("t-SNE by domain")
+        fig.savefig(os.path.join(out_dir, "tsne_domain.png"), dpi=150)
+        plt.close(fig)
+        return res

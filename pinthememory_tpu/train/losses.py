@@ -88,6 +88,48 @@ def image_weighted_cross_entropy(
     return jnp.sum(losses)
 
 
+def img_wt_soft_nll(
+    logits: jnp.ndarray,
+    multihot: jnp.ndarray,
+    upper_bound: float = 1.0,
+    norm: bool = False,
+) -> jnp.ndarray:
+    """Border-relaxed multi-hot NLL (loss.py:182-263, ImgWtLossSoftNLL).
+
+    logits: (B, H, W, C); multihot: (B, H, W, C+1) from
+    :func:`pinthememory_tpu.data.transforms.relaxed_boundary_multihot`
+    (ignore in the last channel).  Per-pixel: log of max(softmax,
+    mask * masked-softmax-sum) summed over target classes, scaled by the
+    per-image class weights and divided by the border multiplicity.
+    """
+    t = multihot[..., :-1].astype(jnp.float32)          # (B, H, W, C)
+    border_weights = jnp.sum(t, axis=-1)                # multiplicity
+    ignore = border_weights == 0
+    bw = jnp.where(ignore, 1.0, border_weights)
+
+    soft = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    masked_sum = jnp.sum(soft * t, axis=-1, keepdims=True)
+    custom = jnp.log(jnp.maximum(soft, t * masked_sum) + 1e-30)
+
+    # per-image class weights from the multihot histogram (loss.py:208-218)
+    hist = jnp.sum(multihot.astype(jnp.float32), axis=(1, 2))   # (B, C+1)
+    hist = hist / jnp.maximum(jnp.sum(hist, axis=1, keepdims=True), 1.0)
+    if norm:
+        cw = jnp.where(hist != 0, upper_bound / jnp.maximum(hist, 1e-12), 0.0) + 1.0
+    else:
+        cw = (hist != 0) * upper_bound * (1.0 - hist) + 1.0
+    cw = cw[:, :-1][:, None, None, :]                   # (B, 1, 1, C)
+
+    loss_matrix = (-1.0 / bw) * jnp.sum(t * cw * custom, axis=-1)
+    loss_matrix = jnp.where(ignore, 0.0, loss_matrix)
+
+    b, h, w = border_weights.shape
+    denom = b * h * w - jnp.sum(ignore) + 1.0
+    # reference normalizes per-image then averages over batch; with uniform
+    # shapes the combined form below matches to first order
+    return jnp.sum(loss_matrix) / denom
+
+
 class LossBundle(NamedTuple):
     total: jnp.ndarray
     main: jnp.ndarray
@@ -100,6 +142,20 @@ class LossBundle(NamedTuple):
 
 def main_criterion(cfg: Config):
     t = cfg.train
+
+    if t.jointwtborder:
+        # border-relaxed path: gts must be multi-hot (B, H, W, C+1) produced
+        # by data.transforms.relaxed_boundary_multihot.  Incompatible with
+        # the memory write (which needs integer class masks) -- the
+        # reference never combines them either.
+        assert not cfg.model.memory.enabled, (
+            "jointwtborder and memory are mutually exclusive"
+        )
+
+        def crit(logits, multihot):
+            return img_wt_soft_nll(logits, multihot, t.wt_bound)
+
+        return crit
 
     if t.img_wt_loss:
         def crit(logits, labels):
