@@ -91,16 +91,25 @@ def main():
     print(f"# warmup (compile) {time.time() - t0:.1f}s, pred shape {pred.shape}",
           file=sys.stderr)
 
-    # pre-generate inputs so host RNG doesn't pollute the measurement; the
-    # timed loop covers upload -> scale/flip/tile/model/merge -> argmax ->
-    # uint8 prediction download, i.e. the full inference pipeline per image.
+    # pre-generate inputs so host RNG doesn't pollute the measurement.  The
+    # timed loop is the streaming-eval pipeline: upload -> scale/flip/tile/
+    # model/merge -> argmax -> on-device confusion-matrix update, with ONE
+    # host sync at the end -- exactly how evalx.cli consumes predictions
+    # (images pipeline back-to-back through the chip).
+    from pinthememory_tpu.core.metrics import confusion_matrix
+
     imgs = [
         rng.integers(0, 255, (args.height, args.width, 3), dtype=np.uint8)
         for _ in range(args.images)
     ]
+    fake_gt = jnp.zeros((args.height, args.width), jnp.int32)
+    hist_update = jax.jit(lambda h, p, g: h + confusion_matrix(p, g, 19))
+    hist = jnp.zeros((19, 19), jnp.int32)
     t0 = time.time()
     for img_i in imgs:
-        ev.predict(img_i)
+        pred = ev.predict_device(img_i)
+        hist = hist_update(hist, pred, fake_gt)
+    jax.block_until_ready(hist)
     per_img = (time.time() - t0) / args.images
     ips = 1.0 / per_img
 

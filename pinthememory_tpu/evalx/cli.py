@@ -118,10 +118,14 @@ def main(argv=None):
     for i in range(n):
         raw, gt, name = ds[i]
         t0 = time.time()
-        pred = ev.predict(raw)
-        times.append(time.time() - t0)
-        h = confusion_matrix(jnp.asarray(pred), jnp.asarray(gt), 19)
+        # prediction and histogram update stay on device; host only syncs
+        # when dumping or printing, so images pipeline through the chip
+        pred_dev = (ev.predict_device(raw) if hasattr(ev, "predict_device")
+                    else jnp.asarray(ev.predict(raw)))
+        h = confusion_matrix(pred_dev, jnp.asarray(gt), 19)
         hist = h if hist is None else hist + h
+        times.append(time.time() - t0)
+        pred = np.asarray(pred_dev) if args.dump_images else None
         if args.dump_images:
             from PIL import Image
 

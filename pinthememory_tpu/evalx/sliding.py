@@ -115,6 +115,16 @@ class SlidingEvaluator:
             acc = out if acc is None else acc + out
         return acc / len(self.scales)
 
+    def predict_device(self, raw_img) -> jnp.ndarray:
+        """(H, W) uint8 prediction left ON DEVICE (no host sync).
+
+        Streaming evaluation should consume this asynchronously (e.g. feed
+        it to an on-device confusion-matrix update) so images pipeline
+        through the chip back-to-back.
+        """
+        logits = self.predict_logits(raw_img)
+        return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
     def predict(self, raw_img) -> np.ndarray:
         """(H, W) class prediction; argmax on device, uint8 download.
 
@@ -122,5 +132,4 @@ class SlidingEvaluator:
         dispatching the per-scale programs -- XLA pipelines the separate
         executables better -- so this stays multi-program.)
         """
-        logits = self.predict_logits(raw_img)
-        return np.asarray(jnp.argmax(logits, axis=-1).astype(jnp.uint8))
+        return np.asarray(self.predict_device(raw_img))
