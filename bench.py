@@ -64,6 +64,8 @@ def main():
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     ap.add_argument("--scales", default="0.5,1.0,2.0")
     ap.add_argument("--no_flip", action="store_true")
+    ap.add_argument("--profile", type=str, default=None,
+                    help="write a jax.profiler trace (XPlane) to this dir")
     args = ap.parse_args()
 
     from pinthememory_tpu.evalx.sliding import SlidingEvaluator
@@ -105,11 +107,16 @@ def main():
     fake_gt = jnp.zeros((args.height, args.width), jnp.int32)
     hist_update = jax.jit(lambda h, p, g: h + confusion_matrix(p, g, 19))
     hist = jnp.zeros((19, 19), jnp.int32)
-    t0 = time.time()
-    for img_i in imgs:
-        pred = ev.predict_device(img_i)
-        hist = hist_update(hist, pred, fake_gt)
-    jax.block_until_ready(hist)
+    import contextlib
+
+    prof = (jax.profiler.trace(args.profile) if args.profile
+            else contextlib.nullcontext())
+    with prof:
+        t0 = time.time()
+        for img_i in imgs:
+            pred = ev.predict_device(img_i)
+            hist = hist_update(hist, pred, fake_gt)
+        jax.block_until_ready(hist)
     per_img = (time.time() - t0) / args.images
     ips = 1.0 / per_img
 

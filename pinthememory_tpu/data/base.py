@@ -83,6 +83,22 @@ class SegmentationDataset:
         img, mask_np, name, centroid = self._load(index)
         mask = Image.fromarray(mask_np, mode="L")
 
+        if self.eval_mode == "aug_pair":
+            # ISW covstat fixture (reference: CityScapesAug,
+            # datasets/cityscapes.py:524-625): (original, photometric-aug,
+            # geometric-aug) triplet, each normalized independently.
+            if self.joint_transform is not None:
+                img, mask = self.joint_transform(img, mask, rng, centroid)
+            color_t = xt.Compose([xt.ColorJitter(0.8, 0.8, 0.8, 0.3),
+                                  xt.RandomGaussianBlur()])
+            img_color = color_t(img, rng)
+            img_geom = img.transpose(Image.FLIP_LEFT_RIGHT)
+            out = []
+            for im in (img, img_color, img_geom):
+                out.append(xt.normalize(xt.to_float01(im), image_in=self.image_in)
+                           .astype(np.float32))
+            return out[0], out[1], out[2], name
+
         if self.eval_mode:
             # sliding/pooling eval: raw uint8 image + trainId mask; the
             # device-side evaluator handles scaling/normalization.

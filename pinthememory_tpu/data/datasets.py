@@ -221,12 +221,12 @@ class NullLoader(SegmentationDataset):
         return self.length
 
     def __getitem__(self, index):
-        import random as _r
-
         rng = np.random.default_rng((self.seed * 1_000_003 + self.epoch) * 1_000_003 + index)
         c = self.crop_size
         img = rng.standard_normal((c, c, 3), dtype=np.float32)
         mask = rng.integers(0, self.classes, (c, c)).astype(np.int32)
+        if self.eval_mode == "aug_pair":
+            return img, img + 0.1, img[:, ::-1].copy(), f"null_{index}"
         if self.eval_mode:
             raw = (np.clip(img, -2, 2) * 60 + 128).astype(np.uint8)
             return raw, mask, f"null_{index}"

@@ -127,10 +127,20 @@ def main(argv=None):
         times.append(time.time() - t0)
         pred = np.asarray(pred_dev) if args.dump_images else None
         if args.dump_images:
+            # colorized / blend / diff dumps (reference: eval.py:662-693)
             from PIL import Image
 
-            Image.fromarray(palette[pred]).save(
+            color = palette[pred]
+            Image.fromarray(color).save(
                 os.path.join(args.results_dir, f"{name}_pred.png"))
+            blend = (0.5 * color + 0.5 * np.asarray(raw)).astype(np.uint8)
+            Image.fromarray(blend).save(
+                os.path.join(args.results_dir, f"{name}_compose.png"))
+            gt_np = np.asarray(gt)
+            valid = gt_np != 255
+            diff = np.where(valid & (pred != gt_np), color, 0).astype(np.uint8)
+            Image.fromarray(diff).save(
+                os.path.join(args.results_dir, f"{name}_diff.png"))
         if i % 10 == 0:
             print(f"[{i + 1}/{n}] {name}: cum mIoU {mean_iu(hist) * 100:.2f} "
                   f"({1.0 / np.mean(times):.2f} img/s)")

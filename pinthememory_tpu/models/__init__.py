@@ -30,6 +30,15 @@ _V3PLUS_ARCHS = {
     "DeepShuffleNetV3PlusD": ("shufflenetv2", "D16", True),
     "DeepShuffleNetV3PlusD_OS8": ("shufflenetv2", "D", True),
     "DeepShuffleNetV3PlusD_OS32": ("shufflenetv2", "D32", True),
+    # ResNeXt / wide-ResNet trunks (deepv3plus.py:690-753)
+    "DeepResNext50V3PlusD": ("resnext-50", "D16", True),
+    "DeepResNext101V3PlusD": ("resnext-101", "D16", True),
+    "DeepResNext101V3PlusD_OS8": ("resnext-101", "D", True),
+    "DeepResNext101V3PlusD_OS4": ("resnext-101", "D4", True),
+    "DeepWideResNet50V3PlusD": ("wide_resnet-50", "D16", True),
+    "DeepWideResNet50V3PlusD_OS8": ("wide_resnet-50", "D", True),
+    "DeepWideResNet101V3PlusD": ("wide_resnet-101", "D16", True),
+    "DeepWideResNet101V3PlusD_OS8": ("wide_resnet-101", "D", True),
     # DeepV3 (no low-level skip, network/deepv3.py)
     "DeepR50V3D": ("resnet-50", "D16", False),
     "DeepR101V3D": ("resnet-101", "D16", False),

@@ -50,7 +50,14 @@ class CovMatrixISW:
         self.count_var_cov += 1
 
     def set_mask_matrix(self):
-        assert self.var_matrix is not None and self.count_var_cov > 0
+        if self.var_matrix is None or self.count_var_cov == 0:
+            import warnings
+
+            warnings.warn(
+                "ISW set_mask_matrix called with no accumulated covariance "
+                "statistics (empty covstat dataset?); keeping previous mask"
+            )
+            return
         var = self.var_matrix / self.count_var_cov
         flat = var.ravel()
 

@@ -32,6 +32,14 @@ def make_backbone(trunk: str, wt_layer, variant: str, dtype):
         return resnet_lib.resnet101(wt_layer, variant, dtype)
     if trunk == "resnet-152":
         return resnet_lib.resnet152(wt_layer, variant, dtype)
+    if trunk == "resnext-50":
+        return resnet_lib.resnext50_32x4d(wt_layer, variant, dtype)
+    if trunk == "resnext-101":
+        return resnet_lib.resnext101_32x8d(wt_layer, variant, dtype)
+    if trunk == "wide_resnet-50":
+        return resnet_lib.wide_resnet50_2(wt_layer, variant, dtype)
+    if trunk == "wide_resnet-101":
+        return resnet_lib.wide_resnet101_2(wt_layer, variant, dtype)
     if trunk == "mobilenetv2":
         from pinthememory_tpu.models.mobilenet import MobileNetV2Backbone
 
@@ -50,6 +58,10 @@ def trunk_channels(trunk: str) -> tuple[int, int, int]:
         "resnet-50": (256, 1024, 2048),
         "resnet-101": (256, 1024, 2048),
         "resnet-152": (256, 1024, 2048),
+        "resnext-50": (256, 1024, 2048),
+        "resnext-101": (256, 1024, 2048),
+        "wide_resnet-50": (256, 1024, 2048),
+        "wide_resnet-101": (256, 1024, 2048),
         "mobilenetv2": (32, 320, 1280),
         "shufflenetv2": (116, 464, 1024),
     }

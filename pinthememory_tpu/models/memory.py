@@ -35,9 +35,15 @@ _HP = jax.lax.Precision.HIGHEST
 
 
 def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
-    """torch ``F.normalize(p=2)``: x / max(||x||, eps)."""
-    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
-    return x / jnp.maximum(norm, eps)
+    """torch ``F.normalize(p=2)``: x / max(||x||, eps).
+
+    The squared-sum is clamped *before* the sqrt: ``sqrt`` at exactly 0 has
+    an infinite gradient, and an all-zero feature row (possible post-ReLU)
+    would otherwise poison the whole gradient with 0*inf = NaN.
+    """
+    sq = jnp.sum(jnp.square(x), axis=axis, keepdims=True)
+    norm = jnp.sqrt(jnp.maximum(sq, eps * eps))
+    return x / norm
 
 
 def init_memory(key: jax.Array, memory_size: int, feature_dim: int) -> jnp.ndarray:

