@@ -108,6 +108,20 @@ def config_from_args(args: argparse.Namespace) -> Config:
         args.bs_mult = min(args.bs_mult, 2)
         args.max_iter = min(args.max_iter, 60)
 
+    # auto max_epoch per dataset combo (utils/misc.py:110-120)
+    if not args.restore_optimizer:
+        ds = list(args.dataset)
+        if ds == ["gtav", "synthia"]:
+            args.max_epoch = 94 if "V2D" in args.arch else 40
+        elif ds == ["gtav", "gtav"]:
+            args.max_epoch = 30
+        elif ds == ["gtav", "idd", "synthia"] or ds == ["gtav", "synthia", "idd"]:
+            args.max_epoch = 92
+        elif ds[:1] == ["null_loader"]:
+            pass  # keep user-provided epochs for the synthetic fixture
+        else:
+            args.max_epoch = 150
+
     return Config(
         model=ModelConfig(
             arch=args.arch,
@@ -197,15 +211,30 @@ class Trainer:
             jnp.zeros((1, *hw), jnp.int32), m_items, rng=kr,
         )
 
-        if cfg.snapshot:
+        resume_native = cfg.snapshot and not cfg.snapshot.endswith(".pth")
+        if cfg.snapshot and not resume_native:
             three_stem = "R101" in cfg.model.arch
             variables, loaded_m, report = load_torch_snapshot(
                 cfg.snapshot, variables, three_stem)
             if loaded_m is not None:
                 m_items = jnp.asarray(loaded_m)
-            self.log.info(f"restored snapshot {cfg.snapshot}: {report}")
+            self.log.info(f"restored torch snapshot {cfg.snapshot}: {report}")
 
         self.state, self.tx = create_train_state(cfg, variables, m_items)
+
+        if resume_native:
+            # resume a native msgpack checkpoint; --restore_optimizer keeps
+            # opt_state/step (reference: optimizer.py:45-56, train.py:111-118)
+            from pinthememory_tpu.utils.checkpoint import load_state
+
+            loaded, meta = load_state(cfg.snapshot, self.state)
+            if cfg.restore_optimizer:
+                self.state = loaded
+            else:
+                self.state = self.state.replace(
+                    params=loaded.params, batch_stats=loaded.batch_stats,
+                    m_items=loaded.m_items)
+            self.log.info(f"resumed native snapshot {cfg.snapshot}: {meta}")
         self.step_agg = make_train_step_agg(self.model, cfg, self.tx)
         self.step_mldg = make_train_step_mldg(self.model, cfg, self.tx)
         self.eval_step = make_eval_step(self.model, cfg)
