@@ -108,6 +108,21 @@ def main(argv=None):
     if args.test_mode:
         args.max_images = args.max_images or 6
 
+    eval_joint = None
+    if args.dataset == "mapillary":
+        # Mapillary protocol: ResizeHeight(1536) + CenterCropPad(1536)
+        # (datasets/__init__.py:581-584)
+        from pinthememory_tpu.data.joint_transforms import CenterCropPad, ResizeHeight
+
+        def eval_joint(raw, gt):
+            from PIL import Image as PILImage
+
+            pim = PILImage.fromarray(raw)
+            pma = PILImage.fromarray(gt.astype(np.uint8))
+            pim, pma = ResizeHeight(1536)(pim, pma)
+            pim, pma = CenterCropPad(1536, ignore_index=255)(pim, pma)
+            return np.asarray(pim), np.asarray(pma).astype(np.int32)
+
     palette = trainid_palette()
     os.makedirs(args.results_dir, exist_ok=True)
     hist = None
@@ -117,6 +132,8 @@ def main(argv=None):
         n = min(n, args.max_images)
     for i in range(n):
         raw, gt, name = ds[i]
+        if eval_joint is not None:
+            raw, gt = eval_joint(raw, gt)
         t0 = time.time()
         # prediction and histogram update stay on device; host only syncs
         # when dumping or printing, so images pipeline through the chip

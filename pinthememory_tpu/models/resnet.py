@@ -236,15 +236,15 @@ class ResNetBackbone(nn.Module):
 
 
 def resnet18(wt_layer=(0,) * 7, variant="D32", dtype=jnp.float32):
-    return ResNetBackbone(BasicBlock, (2, 2, 2, 2), wt_layer, variant, False, dtype)
+    return ResNetBackbone(BasicBlock, (2, 2, 2, 2), wt_layer, variant, False, dtype=dtype)
 
 
 def resnet50(wt_layer=(0,) * 7, variant="D16", dtype=jnp.float32):
-    return ResNetBackbone(Bottleneck, (3, 4, 6, 3), wt_layer, variant, False, dtype)
+    return ResNetBackbone(Bottleneck, (3, 4, 6, 3), wt_layer, variant, False, dtype=dtype)
 
 
 def resnet101(wt_layer=(0,) * 7, variant="D16", dtype=jnp.float32):
-    return ResNetBackbone(Bottleneck, (3, 4, 23, 3), wt_layer, variant, True, dtype)
+    return ResNetBackbone(Bottleneck, (3, 4, 23, 3), wt_layer, variant, True, dtype=dtype)
 
 
 def resnet152(wt_layer=(0,) * 7, variant="D", dtype=jnp.float32):
