@@ -37,6 +37,7 @@ class SegmentationDataset:
         eval_mode: str | None = None,
         meta_transform=None,
         dump_images: bool = False,
+        jointwtborder: bool = False,
     ):
         self.mode = mode
         self.joint_transform = joint_transform
@@ -48,6 +49,7 @@ class SegmentationDataset:
         self.meta_transform = meta_transform
         self.running_metatest = False  # cityscapes.py:290-295
         self.dump_images = dump_images
+        self.jointwtborder = jointwtborder
         self.imgs: list[tuple[str, str]] = []
         # class-uniform build_epoch may replace this with (img, mask, centroid,
         # class) tuples (datasets/uniform.py:272-301)
@@ -115,6 +117,12 @@ class SegmentationDataset:
         img01 = xt.to_float01(img)
         imgn = xt.normalize(img01, image_in=self.image_in)
         m = np.asarray(mask, np.int32)
+        if self.jointwtborder:
+            # border-relaxed multi-hot main target; aux stays integer
+            # (datasets/__init__.py:155-166)
+            mh = xt.relaxed_boundary_multihot(m, self.num_classes,
+                                              self.ignore_label)
+            return imgn.astype(np.float32), mh, name, m
         return imgn.astype(np.float32), m, name, m.copy()
 
 

@@ -50,22 +50,62 @@ MAPILLARY_LUT = _lut_from_dict({
 })
 
 
-class Cityscapes(SegmentationDataset):
-    """datasets/cityscapes.py: labelIds masks remapped via label2trainid."""
+def make_cv_splits(train_cities: list[str], val_cities: list[str],
+                   num_splits: int = 3) -> list[dict]:
+    """City-level cross-validation splits (cityscapes.py:85-117).
 
-    def __init__(self, root: str, mode: str = "train", **kw):
+    Split 0 reproduces the official train/val; further splits rotate which
+    cities act as validation.
+    """
+    all_cities = sorted(val_cities) + sorted(train_cities)
+    num_val = len(val_cities)
+    n = len(all_cities)
+    splits = []
+    for split_idx in range(num_splits):
+        offset = split_idx * n // num_splits
+        val = [all_cities[j] for j in range(n) if offset <= j < offset + num_val]
+        train = [c for c in all_cities if c not in val]
+        splits.append({"train": train, "val": val})
+    return splits
+
+
+class Cityscapes(SegmentationDataset):
+    """datasets/cityscapes.py: labelIds masks remapped via label2trainid.
+
+    ``cv_split`` selects a city-level 3-fold split (cv 0 == official
+    train/val, cityscapes.py:173-181)."""
+
+    def __init__(self, root: str, mode: str = "train", cv_split: int = 0, **kw):
         super().__init__(mode=mode, **kw)
         self.root = root
-        split = "train" if mode == "train" else "val"
-        img_root = os.path.join(root, "leftImg8bit_trainvaltest", "leftImg8bit", split)
-        mask_root = os.path.join(root, "gtFine_trainvaltest", "gtFine", split)
-        self.imgs = find_pairs(
-            img_root, mask_root, "_leftImg8bit.png", "_gtFine_labelIds.png"
-        )
+        base_img = os.path.join(root, "leftImg8bit_trainvaltest", "leftImg8bit")
+        base_mask = os.path.join(root, "gtFine_trainvaltest", "gtFine")
+
+        def pairs(split, cities=None):
+            items = find_pairs(
+                os.path.join(base_img, split), os.path.join(base_mask, split),
+                "_leftImg8bit.png", "_gtFine_labelIds.png")
+            if cities is not None:
+                items = [p for p in items
+                         if os.path.basename(os.path.dirname(p[0])) in cities]
+            return items
+
+        if cv_split == 0:
+            self.imgs = pairs("train" if mode == "train" else "val")
+        else:
+            tr_cities = _list_cities(os.path.join(base_img, "train"))
+            va_cities = _list_cities(os.path.join(base_img, "val"))
+            split = make_cv_splits(tr_cities, va_cities)[cv_split % 3]
+            wanted = set(split["train" if mode == "train" else "val"])
+            self.imgs = pairs("train", wanted) + pairs("val", wanted)
 
     def decode_mask(self, mask_path: str) -> np.ndarray:
         raw = np.asarray(Image.open(mask_path), np.uint8)
         return _ID_LUT[raw]
+
+
+def _list_cities(path: str) -> list[str]:
+    return sorted(os.listdir(path)) if os.path.isdir(path) else []
 
 
 class GTAV(SegmentationDataset):

@@ -211,6 +211,7 @@ def setup_loaders(cfg: Config):
             ds.input_transform = photo
             ds.meta_transform = meta
             ds.image_in = d.image_in
+            ds.jointwtborder = cfg.train.jointwtborder
         train_sets.append(ds)
 
     num_shards = 1
