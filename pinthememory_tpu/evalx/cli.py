@@ -30,6 +30,9 @@ def build_parser():
     p.add_argument("--mem_slot", type=int, default=19)
     p.add_argument("--mem_dim", type=int, default=256)
     p.add_argument("--dataset", type=str, default="cityscapes")
+    p.add_argument("--video_folder", type=str, default=None,
+                   help="label-free image folder for qualitative inference "
+                        "(reference: eval.py:544-561, datasets/video_folder.py)")
     p.add_argument("--dataset_root", type=str, default="~/dg_seg_dataset")
     p.add_argument("--snapshot", type=str, default=None,
                    help=".pth (reference) or .msgpack (native) checkpoint")
@@ -104,7 +107,13 @@ def main(argv=None):
         ev = PoolingEvaluator(apply_fn, scales=scales, flip=not args.no_flip)
 
     cfg = Config(model=mc, data=DataConfig(dataset_root=args.dataset_root))
-    ds = build_dataset(args.dataset, cfg, "val", eval_mode=args.inference_mode)
+    if args.video_folder:
+        from pinthememory_tpu.data.datasets import VideoFolder
+
+        ds = VideoFolder(args.video_folder, eval_mode=args.inference_mode)
+        args.dump_images = True
+    else:
+        ds = build_dataset(args.dataset, cfg, "val", eval_mode=args.inference_mode)
     if args.test_mode:
         args.max_images = args.max_images or 6
 

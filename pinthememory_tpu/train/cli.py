@@ -325,12 +325,38 @@ class Trainer:
         self.log.info("ISW covariance masks set "
                       f"({[int(l.num_sensitive) for l in isw_layers]} sensitive)")
 
+    def _build_uniform_epoch(self):
+        """Class-uniform epoch rebuild (train.py:176-183, datasets/uniform.py).
+
+        Extracts per-class centroids once (JSON-cached next to the exp dir)
+        and re-mixes centroid crops with random images every epoch.
+        """
+        cfg = self.cfg
+        if cfg.data.class_uniform_pct <= 0:
+            return
+        from pinthememory_tpu.data.uniform import build_centroids, build_epoch
+
+        datasets = getattr(self.train_loader.dataset, "datasets",
+                           [self.train_loader.dataset])
+        for di, ds in enumerate(datasets):
+            if not getattr(ds, "imgs", None) or not hasattr(ds, "decode_mask"):
+                continue
+            if not hasattr(ds, "_centroids"):
+                cache = os.path.join(self.log.exp_dir, f"centroids_{di}.json")
+                ds._centroids = build_centroids(
+                    ds.imgs, ds.decode_mask,
+                    tile_size=cfg.data.class_uniform_tile, cache_path=cache)
+            ds.imgs_uniform = build_epoch(
+                ds.imgs, ds._centroids, 19, cfg.data.class_uniform_pct,
+                np.random.default_rng((cfg.train.seed, self.epoch)))
+
     def do_epoch(self) -> bool:
         """One epoch; returns False when max_iter is reached."""
         from pinthememory_tpu.train.loops import meta_split
 
         cfg = self.cfg
         t_ep = time.time()
+        self._build_uniform_epoch()
         if hasattr(self.train_loader.dataset, "set_epoch"):
             self.train_loader.dataset.set_epoch(self.epoch)
         self.train_loader.sampler.set_epoch(self.epoch)
