@@ -93,12 +93,12 @@ class SlidingEvaluator:
             if with_flip:
                 tiles_f = extract_tiles(img[:, ::-1, :], grid)
                 logits = self.apply_fn(jnp.concatenate([tiles, tiles_f], axis=0))
-                lo, lf = jnp.split(logits.astype(jnp.float32), 2, axis=0)
+                lo, lf = jnp.split(logits, 2, axis=0)
                 merged = merge_tiles(lo, grid)
                 merged_f = merge_tiles(lf, grid)[:, ::-1, :]
                 merged = 0.5 * (merged + merged_f)
             else:
-                merged = merge_tiles(self.apply_fn(tiles).astype(jnp.float32), grid)
+                merged = merge_tiles(self.apply_fn(tiles), grid)
             return resize_bilinear_half_pixel(merged, (img_h, img_w))
 
         self._programs[key] = run

@@ -75,26 +75,31 @@ def extract_tiles(img: jnp.ndarray, grid: TileGrid) -> jnp.ndarray:
     return jax.vmap(one)(ys, xs)
 
 
-def merge_tiles(tiles: jnp.ndarray, grid: TileGrid) -> jnp.ndarray:
-    """Overlap-average merge: (T, th, tw, C) -> (H, W, C).
+def merge_tiles(
+    tiles: jnp.ndarray, grid: TileGrid, accum_dtype=jnp.float32
+) -> jnp.ndarray:
+    """Overlap-average merge: (T, th, tw, C) -> (H, W, C) in ``accum_dtype``.
 
     Equivalent to the reference's scatter-add + count division
     (eval.py:216-229), expressed as a scan of dynamic_update_slice adds so
-    XLA emits in-place updates on device.
+    XLA emits in-place updates on device.  Tiles may arrive in a lower
+    precision (bf16 model output); the upcast fuses into the add, halving
+    the HBM read traffic vs. materializing an f32 copy first.
     """
     c = tiles.shape[-1]
     ys = jnp.array([g[0] for g in grid.coords], jnp.int32)
     xs = jnp.array([g[1] for g in grid.coords], jnp.int32)
 
-    full = jnp.zeros((grid.img_h, grid.img_w, c), tiles.dtype)
-    count = jnp.zeros((grid.img_h, grid.img_w, 1), tiles.dtype)
-    ones = jnp.ones((grid.tile_h, grid.tile_w, 1), tiles.dtype)
+    full = jnp.zeros((grid.img_h, grid.img_w, c), accum_dtype)
+    count = jnp.zeros((grid.img_h, grid.img_w, 1), accum_dtype)
+    ones = jnp.ones((grid.tile_h, grid.tile_w, 1), accum_dtype)
 
     def body(carry, inp):
         full, count = carry
         tile, y, x = inp
         patch = jax.lax.dynamic_slice(full, (y, x, 0), (grid.tile_h, grid.tile_w, c))
-        full = jax.lax.dynamic_update_slice(full, patch + tile, (y, x, 0))
+        full = jax.lax.dynamic_update_slice(
+            full, patch + tile.astype(accum_dtype), (y, x, 0))
         cpatch = jax.lax.dynamic_slice(count, (y, x, 0), (grid.tile_h, grid.tile_w, 1))
         count = jax.lax.dynamic_update_slice(count, cpatch + ones, (y, x, 0))
         return (full, count), None

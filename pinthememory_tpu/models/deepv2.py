@@ -100,7 +100,7 @@ class DeepV2(nn.Module):
         dec1 = nn.relu(self.final1_bn(self.final1_conv(dec0_up),
                                       use_running_average=not train))
         dec2 = self.final2_conv(dec1)
-        main_out = resize_bilinear_align_corners(dec2, in_hw).astype(jnp.float32)
+        main_out = resize_bilinear_align_corners(dec2, in_hw)
 
         aux_out = None
         if with_aux:
@@ -112,7 +112,7 @@ class DeepV2(nn.Module):
                     jax.random.fold_in(rng, 17), keep,
                     (a.shape[0], 1, 1, a.shape[-1]))
                 a = jnp.where(dmask, a / keep, 0.0).astype(a.dtype)
-            aux_out = self.dsn_conv2(a).astype(jnp.float32)
+            aux_out = self.dsn_conv2(a)
 
         return {
             "main_out": main_out,

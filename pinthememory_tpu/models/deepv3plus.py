@@ -179,7 +179,9 @@ class DeepV3Plus(nn.Module):
         dec1 = nn.relu(self.final1_bn1(self.final1_conv1(dec0), use_running_average=not train))
         dec1 = nn.relu(self.final1_bn2(self.final1_conv2(dec1), use_running_average=not train))
         dec2 = self.final2_conv(dec1)
-        main_out = resize_bilinear_align_corners(dec2, in_hw).astype(jnp.float32)
+        # logits keep the model compute dtype; losses/eval merges upcast at
+        # their accumulation site (halves eval HBM traffic in bf16 mode)
+        main_out = resize_bilinear_align_corners(dec2, in_hw)
 
         aux_out = None
         if with_aux:
@@ -191,7 +193,7 @@ class DeepV3Plus(nn.Module):
                     jax.random.fold_in(rng, 17), keep, (a.shape[0], 1, 1, a.shape[-1])
                 )
                 a = jnp.where(dmask, a / keep, 0.0).astype(a.dtype)
-            aux_out = self.dsn_conv2(a).astype(jnp.float32)
+            aux_out = self.dsn_conv2(a)
 
         return {
             "main_out": main_out,
