@@ -98,6 +98,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--test_mode", action="store_true")
     p.add_argument("--model_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--profile", type=str, default=None,
+                   help="write a jax.profiler trace of iterations 10-20")
+    p.add_argument("--check_nan", action="store_true",
+                   help="raise on non-finite loss (the reference's autograd "
+                        "anomaly mode, train.py:531, repurposed)")
     return p
 
 
@@ -175,7 +180,10 @@ def config_from_args(args: argparse.Namespace) -> Config:
 class Trainer:
     """Reference MemoryMetaFrameWork, functional style (train.py:43-197)."""
 
-    def __init__(self, cfg: Config):
+    def __init__(self, cfg: Config, profile_dir: str | None = None,
+                 check_nan: bool = False):
+        self.profile_dir = profile_dir
+        self.check_nan = check_nan
         from pinthememory_tpu.data import setup_loaders
         from pinthememory_tpu.models import build_model
         from pinthememory_tpu.models.memory import init_memory
@@ -365,10 +373,16 @@ class Trainer:
         apply_wt = (not cfg.model.whitening.use_isw
                     or self.epoch > cfg.model.whitening.cov_stat_epoch)
 
+        t_iter = time.time()
         for i, batch in enumerate(self.train_loader):
             step_no = int(self.state.step)
             if step_no >= cfg.train.max_iter:
                 return False
+            if self.profile_dir and self.epoch == 0 and i == 10:
+                jax.profiler.start_trace(self.profile_dir)
+            if self.profile_dir and self.epoch == 0 and i == 20:
+                jax.profiler.stop_trace()
+                self.log.info(f"profiler trace written to {self.profile_dir}")
             self.rng, sub = jax.random.split(self.rng)
             jbatch = {k: jnp.asarray(v) for k, v in batch.items() if k != "names"}
             if jbatch["image"].ndim == 4:  # single domain -> add D axis
@@ -392,11 +406,16 @@ class Trainer:
 
             if i % 50 == 49 or (cfg.train.test_mode and i == 0):
                 lr = float(self.lr_fn(int(self.state.step)))
+                loss_now = float(log_metrics.get(
+                    "total", log_metrics.get("outer_total", 0.0)))
+                if self.check_nan and not np.isfinite(loss_now):
+                    raise FloatingPointError(
+                        f"non-finite loss {loss_now} at step {int(self.state.step)}")
+                ms = (time.time() - t_iter) / (i + 1) * 1000
                 self.log.info(
                     f"[epoch {self.epoch}] [it {i + 1}/{len(self.train_loader)} "
                     f": {int(self.state.step)}] "
-                    f"[loss {float(log_metrics.get('total', log_metrics.get('outer_total', 0.0))):.6f}] "
-                    f"[lr {lr:.6f}]")
+                    f"[loss {loss_now:.6f}] [lr {lr:.6f}] [time {ms:.0f} ms/it]")
                 self.log.scalars(int(self.state.step), log_metrics)
 
             if cfg.train.test_mode and i > 5:
@@ -457,7 +476,7 @@ class Trainer:
 def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
-    Trainer(cfg).run()
+    Trainer(cfg, profile_dir=args.profile, check_nan=args.check_nan).run()
 
 
 if __name__ == "__main__":
