@@ -59,6 +59,8 @@ def build(dtype: str, hw_crop: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", type=int, default=4, help="timed images")
+    ap.add_argument("--batch", type=int, default=2,
+                    help="images per device batch (vmapped eval programs)")
     ap.add_argument("--height", type=int, default=1024)
     ap.add_argument("--width", type=int, default=2048)
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
@@ -85,11 +87,12 @@ def main():
     )
 
     rng = np.random.default_rng(0)
-    img = rng.integers(0, 255, (args.height, args.width, 3), dtype=np.uint8)
+    img = rng.integers(0, 255, (args.batch, args.height, args.width, 3),
+                       dtype=np.uint8)
 
     # warmup: compiles one program per (scale, size)
     t0 = time.time()
-    pred = ev.predict(img)
+    pred = np.asarray(ev.predict_batch_device(img))
     print(f"# warmup (compile) {time.time() - t0:.1f}s, pred shape {pred.shape}",
           file=sys.stderr)
 
@@ -100,13 +103,16 @@ def main():
     # (images pipeline back-to-back through the chip).
     from pinthememory_tpu.core.metrics import confusion_matrix
 
+    n_batches = max(args.images // args.batch, 1)
     imgs = [
-        rng.integers(0, 255, (args.height, args.width, 3), dtype=np.uint8)
-        for _ in range(args.images)
+        rng.integers(0, 255, (args.batch, args.height, args.width, 3),
+                     dtype=np.uint8)
+        for _ in range(n_batches)
     ]
-    fake_gt = jnp.zeros((args.height, args.width), jnp.int32)
+    fake_gt = jnp.zeros((args.batch, args.height, args.width), jnp.int32)
     hist_update = jax.jit(lambda h, p, g: h + confusion_matrix(p, g, 19))
     hist = jnp.zeros((19, 19), jnp.int32)
+    jax.block_until_ready(hist_update(hist, jnp.asarray(pred), fake_gt))  # warm
     import contextlib
 
     prof = (jax.profiler.trace(args.profile) if args.profile
@@ -114,10 +120,10 @@ def main():
     with prof:
         t0 = time.time()
         for img_i in imgs:
-            pred = ev.predict_device(img_i)
+            pred = ev.predict_batch_device(img_i)
             hist = hist_update(hist, pred, fake_gt)
         jax.block_until_ready(hist)
-    per_img = (time.time() - t0) / args.images
+    per_img = (time.time() - t0) / (n_batches * args.batch)
     ips = 1.0 / per_img
 
     print(json.dumps({

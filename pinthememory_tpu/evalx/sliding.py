@@ -115,6 +115,28 @@ class SlidingEvaluator:
             acc = out if acc is None else acc + out
         return acc / len(self.scales)
 
+    def _batch_program(self, n: int, img_h: int, img_w: int, scale: float):
+        """vmapped per-scale program over a small image batch -- amortizes
+        per-program dispatch latency and doubles the tile batch."""
+        key = ("batch", n, img_h, img_w, scale)
+        if key in self._programs:
+            return self._programs[key]
+        body = self._scale_program(img_h, img_w, scale)
+        run = jax.jit(jax.vmap(body))
+        self._programs[key] = run
+        return run
+
+    def predict_batch_device(self, raw_imgs) -> jnp.ndarray:
+        """(N, H, W) uint8 predictions on device for a stacked image batch."""
+        raws = jnp.asarray(raw_imgs)
+        n, img_h, img_w = raws.shape[:3]
+        acc = None
+        for scale in self.scales:
+            run = self._batch_program(n, img_h, img_w, scale)
+            out = run(raws)
+            acc = out if acc is None else acc + out
+        return jnp.argmax(acc, axis=-1).astype(jnp.uint8)
+
     def predict_device(self, raw_img) -> jnp.ndarray:
         """(H, W) uint8 prediction left ON DEVICE (no host sync).
 
