@@ -28,7 +28,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pinthememory_tpu.evalx.tiling import compute_grid, extract_tiles, merge_tiles
+from pinthememory_tpu.evalx.tiling import (
+    compute_grid,
+    extract_tiles,
+    merge_tiles_segments,
+)
 from pinthememory_tpu.ops.resize import (
     resize_bilinear_half_pixel,
     resize_pil_bilinear,
@@ -94,11 +98,11 @@ class SlidingEvaluator:
                 tiles_f = extract_tiles(img[:, ::-1, :], grid)
                 logits = self.apply_fn(jnp.concatenate([tiles, tiles_f], axis=0))
                 lo, lf = jnp.split(logits, 2, axis=0)
-                merged = merge_tiles(lo, grid)
-                merged_f = merge_tiles(lf, grid)[:, ::-1, :]
+                merged = merge_tiles_segments(lo, grid)
+                merged_f = merge_tiles_segments(lf, grid)[:, ::-1, :]
                 merged = 0.5 * (merged + merged_f)
             else:
-                merged = merge_tiles(self.apply_fn(tiles), grid)
+                merged = merge_tiles_segments(self.apply_fn(tiles), grid)
             return resize_bilinear_half_pixel(merged, (img_h, img_w))
 
         self._programs[key] = run

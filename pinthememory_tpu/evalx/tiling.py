@@ -112,3 +112,58 @@ def grid_coords_arrays(grid: TileGrid) -> tuple[np.ndarray, np.ndarray]:
     ys = np.array([c[0] for c in grid.coords], np.int32)
     xs = np.array([c[1] for c in grid.coords], np.int32)
     return ys, xs
+
+
+def _axis_segments(starts: list[int], tile: int, size: int):
+    """Split [0, size) at every tile start/end; per segment, the set of
+    covering tile starts."""
+    bounds = sorted({0, size, *(s for s in starts), *(s + tile for s in starts)})
+    bounds = [b for b in bounds if 0 <= b <= size]
+    segs = []
+    for b0, b1 in zip(bounds[:-1], bounds[1:]):
+        cover = [s for s in starts if s <= b0 and b0 < s + tile]
+        segs.append((b0, b1, cover))
+    return segs
+
+
+def merge_tiles_segments(
+    tiles: jnp.ndarray, grid: TileGrid, accum_dtype=jnp.float32
+) -> jnp.ndarray:
+    """Overlap-average merge via static segment gathers.
+
+    Bit-identical to :func:`merge_tiles` (same f32 sum, divided by the same
+    per-pixel count value), but reads each tile element exactly ONCE and
+    never materializes a count map: ``compute_grid`` emits a cross product
+    of y/x starts, so inside one (y-seg, x-seg) rectangle the covering tile
+    set — and hence the count — is a compile-time constant.  The scan
+    variant's per-tile read-modify-write of the full-image accumulator
+    (~2x tile traffic + count traffic) becomes one concat of segment means;
+    at the eval protocol's scale-2.0 grid this is ~8x less HBM traffic.
+    """
+    c = tiles.shape[-1]
+    ys_starts = sorted({g[0] for g in grid.coords})
+    xs_starts = sorted({g[1] for g in grid.coords})
+    y_segs = _axis_segments(ys_starts, grid.tile_h, grid.img_h)
+    x_segs = _axis_segments(xs_starts, grid.tile_w, grid.img_w)
+
+    rows = []
+    for y0, y1, ycov in y_segs:
+        row = []
+        for x0, x1, xcov in x_segs:
+            total = None
+            count = 0
+            # iterate in grid.coords order so f32 summation order (and
+            # hence the result bits) match the scan merge exactly;
+            # duplicated edge-back-shifted coords sum individually like
+            # the reference's scatter-add
+            for ti, (sy, sx) in enumerate(grid.coords):
+                if sy in ycov and sx in xcov:
+                    t = tiles[ti, y0 - sy:y1 - sy, x0 - sx:x1 - sx, :]
+                    total = (t.astype(accum_dtype) if total is None
+                             else total + t.astype(accum_dtype))
+                    count += 1
+            row.append(total / count)
+        rows.append(jnp.concatenate(row, axis=1) if len(row) > 1 else row[0])
+    out = jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+    assert out.shape == (grid.img_h, grid.img_w, c)
+    return out

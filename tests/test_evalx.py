@@ -6,7 +6,12 @@ import numpy as np
 
 from pinthememory_tpu.evalx.sliding import SlidingEvaluator, normalize_image
 from pinthememory_tpu.evalx.pooling import PoolingEvaluator
-from pinthememory_tpu.evalx.tiling import compute_grid, extract_tiles, merge_tiles
+from pinthememory_tpu.evalx.tiling import (
+    compute_grid,
+    extract_tiles,
+    merge_tiles,
+    merge_tiles_segments,
+)
 
 
 def test_grid_matches_reference_arithmetic():
@@ -36,6 +41,42 @@ def test_extract_merge_roundtrip_identity():
     merged = merge_tiles(tiles, g)
     # overlap-averaging identical values reconstructs the input exactly
     np.testing.assert_allclose(np.asarray(merged), np.asarray(img), rtol=1e-5, atol=1e-5)
+
+
+def test_segment_merge_bitequal_scan_merge():
+    """merge_tiles_segments must match the scan merge BIT-for-bit (same f32
+    summation order, same count value division) on every protocol grid shape
+    incl. truncated tiles and back-shifted edges."""
+    rng = np.random.default_rng(4)
+    cases = [
+        (1024, 2048, 768, 1.0, 1 / 3),   # scale-1.0 Cityscapes grid (8 tiles)
+        (2048, 4096, 768, 2.0, 1 / 3),   # scale-2.0 grid (big tiles)
+        (512, 1024, 768, 0.5, 1 / 3),    # truncated tile rows
+        (100, 160, 64, 1.0, 0.25),
+        (64, 96, 48, 1.0, 0.5),          # heavier overlap (up to 4x coverage)
+        (50, 40, 64, 1.0, 1 / 3),        # image smaller than tile
+    ]
+    for (h, w, crop, scale, ov) in cases:
+        g = compute_grid(h, w, crop, scale, ov)
+        # keep the big grids cheap: shrink via a proportional fake grid
+        if h > 256:
+            g = compute_grid(h // 8, w // 8, crop // 8, scale, ov)
+        tiles = jnp.asarray(
+            rng.standard_normal((g.num_tiles, g.tile_h, g.tile_w, 3)).astype(np.float32))
+        a = np.asarray(merge_tiles(tiles, g))
+        b = np.asarray(merge_tiles_segments(tiles, g))
+        np.testing.assert_array_equal(a, b, err_msg=f"grid {(h, w, crop, scale, ov)}")
+
+
+def test_segment_merge_bf16_tiles_upcast():
+    rng = np.random.default_rng(5)
+    g = compute_grid(100, 160, 64, 1.0, 0.25)
+    tiles_f32 = rng.standard_normal((g.num_tiles, 64, 64, 2)).astype(np.float32)
+    tiles = jnp.asarray(tiles_f32).astype(jnp.bfloat16)
+    out = merge_tiles_segments(tiles, g)
+    assert out.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.asarray(merge_tiles(tiles, g)))
 
 
 def _identity_apply(tiles):
