@@ -21,3 +21,15 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The axon sitecustomize imports jax at interpreter start (before conftest),
+# so JAX_PLATFORMS was captured as "axon" at import time and the env set
+# above is ignored -- override the live config too.  Backends are created
+# lazily at first use, so XLA_FLAGS still applies to the CPU client.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert jax.device_count() == 8, (
+    f"expected the 8-device virtual CPU mesh, got {jax.devices()}"
+)
