@@ -213,3 +213,51 @@ def merge_into_variables(variables: dict, params: dict, stats: dict) -> dict:
         "params": merge(variables["params"], params),
         "batch_stats": merge(variables.get("batch_stats", {}), stats),
     }
+
+
+def main(argv=None):
+    """CLI: convert a released reference ``.pth`` into a native msgpack
+    checkpoint of ``{params, batch_stats, m_items}`` for a chosen arch."""
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Convert a PintheMemory torch .pth to a native checkpoint")
+    ap.add_argument("snapshot", help="input .pth path")
+    ap.add_argument("output", help="output .msgpack path")
+    ap.add_argument("--arch", default="DeepR50V3PlusD")
+    ap.add_argument("--memory", action="store_true",
+                    help="build the model with the categorical memory head")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from pinthememory_tpu.core.config import MemoryConfig, ModelConfig
+    from pinthememory_tpu.models import build_model
+    from pinthememory_tpu.models.memory import init_memory
+    from pinthememory_tpu.utils.checkpoint import load_torch_snapshot, save_state
+
+    mc = ModelConfig(arch=args.arch, memory=MemoryConfig(enabled=args.memory))
+    model = build_model(mc)
+    three_stem = "101" in args.arch
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    kw = {}
+    if args.memory:
+        kw = dict(gts=jnp.zeros((1, 64, 64), jnp.int32),
+                  m_items=init_memory(jax.random.PRNGKey(1), 19, 256),
+                  rng=jax.random.PRNGKey(2), memory_writing=True)
+    variables = jax.eval_shape(
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, x,
+                           train=False, with_aux=True, **kw))
+    variables = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), variables)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+    merged, m_items, report = load_torch_snapshot(
+        args.snapshot, variables, three_stem=three_stem)
+    payload = {"variables": merged, "m_items": m_items}
+    save_state(args.output, payload, meta={"arch": args.arch, "report": repr(report)})
+    print(f"converted {args.snapshot} -> {args.output}  ({report!r})")
+
+
+if __name__ == "__main__":
+    main()
