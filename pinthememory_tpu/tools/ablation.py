@@ -45,12 +45,12 @@ def memact_heatmaps(raw_img: np.ndarray, score_memory: np.ndarray, out_dir: str,
     import matplotlib
 
     matplotlib.use("Agg")
-    import matplotlib.cm as cm
+    import matplotlib
     from PIL import Image
 
     os.makedirs(out_dir, exist_ok=True)
     h, w = raw_img.shape[:2]
-    viridis = cm.get_cmap("viridis")
+    viridis = matplotlib.colormaps["viridis"]
     for slot in range(score_memory.shape[-1]):
         act = score_memory[..., slot]
         act = (act - act.min()) / max(act.max() - act.min(), 1e-8)
