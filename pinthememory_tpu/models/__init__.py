@@ -39,6 +39,10 @@ _V3PLUS_ARCHS = {
     "DeepWideResNet50V3PlusD_OS8": ("wide_resnet-50", "D", True),
     "DeepWideResNet101V3PlusD": ("wide_resnet-101", "D16", True),
     "DeepWideResNet101V3PlusD_OS8": ("wide_resnet-101", "D", True),
+    # MNASNet trunks (deepv3plus.py:764-778; dead-on-arrival in the
+    # reference forward -- see PARITY.md -- working here)
+    "DeepMNASNet05V3PlusD": ("mnasnet_05", "D16", True),
+    "DeepMNASNet10V3PlusD": ("mnasnet_10", "D16", True),
     # DeepV3 (no low-level skip, network/deepv3.py)
     "DeepR50V3D": ("resnet-50", "D16", False),
     "DeepR101V3D": ("resnet-101", "D16", False),

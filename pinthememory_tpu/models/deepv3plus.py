@@ -48,6 +48,12 @@ def make_backbone(trunk: str, wt_layer, variant: str, dtype):
         from pinthememory_tpu.models.shufflenet import ShuffleNetV2Backbone
 
         return ShuffleNetV2Backbone(wt_layer=tuple(wt_layer), variant=variant, dtype=dtype)
+    if trunk in ("mnasnet_05", "mnasnet_10"):
+        from pinthememory_tpu.models.mnasnet import MNASNetBackbone
+
+        return MNASNetBackbone(
+            alpha=0.5 if trunk == "mnasnet_05" else 1.0,
+            wt_layer=tuple(wt_layer), variant=variant, dtype=dtype)
     raise ValueError(f"unknown trunk {trunk!r}")
 
 
@@ -64,6 +70,8 @@ def trunk_channels(trunk: str) -> tuple[int, int, int]:
         "wide_resnet-101": (256, 1024, 2048),
         "mobilenetv2": (32, 320, 1280),
         "shufflenetv2": (116, 464, 1024),
+        "mnasnet_05": (24, 160, 1280),
+        "mnasnet_10": (40, 320, 1280),
     }
     return table[trunk]
 

@@ -65,3 +65,24 @@ def test_whitened_arch_traces_with_taps():
         variables, x,
     )
     assert len(out["taps"]) == 3  # one per whitened position
+
+
+def test_mnasnet_backbone_feature_geometry():
+    """MNASNet trunks (deepv3plus.py:210-260): channel plan and OS16 geometry.
+    The reference declares these constructors but its forward cannot run them
+    (PARITY.md); pin the rebuilt architecture's contract instead."""
+    import jax
+    import jax.numpy as jnp
+
+    from pinthememory_tpu.models.mnasnet import MNASNetBackbone
+
+    for alpha, low_c, aux_c in ((0.5, 24, 160), (1.0, 40, 320)):
+        bb = MNASNetBackbone(alpha=alpha, variant="D16")
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        variables = bb.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        feats = bb.apply(variables, x, train=False)
+        # layer1 = torchvision layers[8,9], both stride-2 stacks -> OS8
+        # (unlike ResNet's stride-4 low_level)
+        assert feats["low_level"].shape == (1, 8, 8, low_c)
+        assert feats["aux"].shape == (1, 4, 4, aux_c)           # OS16
+        assert feats["out"].shape == (1, 4, 4, 1280)            # OS16 (D16)
