@@ -103,6 +103,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--check_nan", action="store_true",
                    help="raise on non-finite loss (the reference's autograd "
                         "anomaly mode, train.py:531, repurposed)")
+    p.add_argument("--dump_augmentation_images", action="store_true",
+                   help="dump the first training batch's augmented images + "
+                        "colorized masks (train.py:1183)")
     return p
 
 
@@ -181,9 +184,10 @@ class Trainer:
     """Reference MemoryMetaFrameWork, functional style (train.py:43-197)."""
 
     def __init__(self, cfg: Config, profile_dir: str | None = None,
-                 check_nan: bool = False):
+                 check_nan: bool = False, dump_aug: bool = False):
         self.profile_dir = profile_dir
         self.check_nan = check_nan
+        self.dump_aug = dump_aug
         from pinthememory_tpu.data import setup_loaders
         from pinthememory_tpu.models import build_model
         from pinthememory_tpu.models.memory import init_memory
@@ -332,6 +336,16 @@ class Trainer:
                 l.set_mask_matrix()
         self.log.info("ISW covariance masks set "
                       f"({[int(l.num_sensitive) for l in isw_layers]} sensitive)")
+        # covariance-mask images (reference TB images, train.py:977-987)
+        from PIL import Image
+
+        out = os.path.join(self.log.exp_dir, "cov_masks")
+        os.makedirs(out, exist_ok=True)
+        for li, l in enumerate(isw_layers):
+            if l.mask_matrix is not None:
+                img = (np.asarray(l.mask_matrix) * 255).astype(np.uint8)
+                Image.fromarray(img).save(os.path.join(out, f"layer{li}.png"))
+        self.log.info(f"covariance mask images written to {out}")
 
     def _build_uniform_epoch(self):
         """Class-uniform epoch rebuild (train.py:176-183, datasets/uniform.py).
@@ -384,6 +398,8 @@ class Trainer:
                 jax.profiler.stop_trace()
                 self.log.info(f"profiler trace written to {self.profile_dir}")
             self.rng, sub = jax.random.split(self.rng)
+            if self.dump_aug and self.epoch == 0 and i == 0:
+                self._dump_augmentation(batch)
             jbatch = {k: jnp.asarray(v) for k, v in batch.items() if k != "names"}
             if jbatch["image"].ndim == 4:  # single domain -> add D axis
                 jbatch = {k: v[:, None] for k, v in jbatch.items()}
@@ -422,6 +438,31 @@ class Trainer:
                 return False
         self.log.info(f"epoch {self.epoch} done in {time.time() - t_ep:.1f}s")
         return True
+
+    def _dump_augmentation(self, batch):
+        """Write the batch's augmented images + colorized masks as PNGs
+        (reference --dump_augmentation_images, datasets/cityscapes.py:316-323)."""
+        from PIL import Image
+
+        from pinthememory_tpu.core.labels import trainid_palette
+        from pinthememory_tpu.evalx.sliding import IMAGENET_MEAN, IMAGENET_STD
+
+        out = os.path.join(self.log.exp_dir, "augmentation_dump")
+        os.makedirs(out, exist_ok=True)
+        imgs = np.asarray(batch["image"])
+        gts = np.asarray(batch["gts"])
+        if imgs.ndim == 4:
+            imgs, gts = imgs[:, None], gts[:, None]
+        mean, std = np.asarray(IMAGENET_MEAN), np.asarray(IMAGENET_STD)
+        for b in range(imgs.shape[0]):
+            for d in range(imgs.shape[1]):
+                rgb = np.clip((imgs[b, d] * std + mean) * 255.0, 0, 255)
+                Image.fromarray(rgb.astype(np.uint8)).save(
+                    os.path.join(out, f"b{b}_d{d}_img.png"))
+                mask = np.clip(gts[b, d].astype(np.int32), 0, 255)
+                Image.fromarray(trainid_palette()[mask]).save(
+                    os.path.join(out, f"b{b}_d{d}_mask.png"))
+        self.log.info(f"augmentation dump written to {out}")
 
     def validate(self, max_batches: int | None = None):
         """Whole-image validation on each val loader (train.py:847-939)."""
@@ -476,7 +517,8 @@ class Trainer:
 def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
-    Trainer(cfg, profile_dir=args.profile, check_nan=args.check_nan).run()
+    Trainer(cfg, profile_dir=args.profile, check_nan=args.check_nan,
+            dump_aug=args.dump_augmentation_images).run()
 
 
 if __name__ == "__main__":
