@@ -65,3 +65,29 @@ def test_maxpool_matches_torch(hw):
     ref = ref.permute(0, 2, 3, 1).numpy()
     assert np.asarray(ours).shape == ref.shape
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [
+    ((64, 128), (32, 64)),    # 0.5x downscale (antialiased triangle filter)
+    ((64, 128), (128, 256)),  # 2.0x upscale
+    ((50, 70), (33, 47)),     # non-integer ratio
+])
+def test_pil_bilinear_matches_pil(in_hw, out_hw):
+    """resize_pil_bilinear gates eval parity: the reference rescales images
+    with PIL Image.BILINEAR before tiling (eval.py:357)."""
+    from PIL import Image
+
+    from pinthememory_tpu.ops.resize import resize_pil_bilinear
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, (*in_hw, 3), dtype=np.uint8)
+    ref = np.asarray(
+        Image.fromarray(img).resize(out_hw[::-1], Image.BILINEAR),
+        dtype=np.float64)
+    ours = np.asarray(resize_pil_bilinear(jnp.asarray(img, jnp.float32), out_hw))
+    # PIL rounds outputs to uint8 (±0.5) AND quantizes filter coefficients
+    # to 8-bit fixed point (ImagingResampleHorizontal, PRECISION_BITS) --
+    # the exact float filter lands within ~1.25 quanta; geometry errors
+    # (wrong support/center) would show at tens of quanta.
+    assert ours.shape == ref.shape
+    assert np.abs(ours - ref).max() <= 1.25
