@@ -45,6 +45,14 @@ def build_parser():
     p.add_argument("--dump_images", action="store_true")
     p.add_argument("--results_dir", type=str, default="./eval_results")
     p.add_argument("--test_mode", action="store_true")
+    p.add_argument("--split", type=str, default="val",
+                   help="dataset split to evaluate (eval.py:80)")
+    p.add_argument("--cv_split", type=int, default=0,
+                   help="Cityscapes 3-fold CV split (eval.py:88)")
+    p.add_argument("--split_index", type=int, default=0,
+                   help="shard index for parallel eval jobs (eval.py:91)")
+    p.add_argument("--split_count", type=int, default=1,
+                   help="number of parallel eval shards (eval.py:92)")
     p.add_argument("--max_images", type=int, default=0)
     p.add_argument("--model_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
@@ -113,7 +121,9 @@ def main(argv=None):
         ds = VideoFolder(args.video_folder, eval_mode=args.inference_mode)
         args.dump_images = True
     else:
-        ds = build_dataset(args.dataset, cfg, "val", eval_mode=args.inference_mode)
+        kw = {"cv_split": args.cv_split} if args.dataset == "cityscapes" else {}
+        ds = build_dataset(args.dataset, cfg, args.split,
+                           eval_mode=args.inference_mode, **kw)
     if args.test_mode:
         args.max_images = args.max_images or 6
 
@@ -139,7 +149,10 @@ def main(argv=None):
     n = len(ds)
     if args.max_images:
         n = min(n, args.max_images)
-    for i in range(n):
+    # contiguous shard [index*n/count, (index+1)*n/count) (eval.py:744-748)
+    lo = (n * args.split_index) // args.split_count
+    hi = (n * (args.split_index + 1)) // args.split_count
+    for i in range(lo, hi):
         raw, gt, name = ds[i]
         if eval_joint is not None:
             raw, gt = eval_joint(raw, gt)
