@@ -128,6 +128,8 @@ class DataConfig:
     bblur: bool = False
     rrotate: int = 0
     image_in: bool = False          # per-image input instance norm
+    crop_nopad: bool = False        # RandomCrop without border padding
+    city_mode: str = "train"        # cityscapes source split (or trainval)
     num_workers: int = 8
     dataset_root: str = "~/dg_seg_dataset"  # config.py:68
 

@@ -90,7 +90,10 @@ class Cityscapes(SegmentationDataset):
                          if os.path.basename(os.path.dirname(p[0])) in cities]
             return items
 
-        if cv_split == 0:
+        if mode == "trainval":
+            # --city_mode trainval: train on train+val (datasets/__init__.py:339)
+            self.imgs = pairs("train") + pairs("val")
+        elif cv_split == 0:
             self.imgs = pairs("train" if mode == "train" else "val")
         else:
             tr_cities = _list_cities(os.path.join(base_img, "train"))

@@ -197,7 +197,7 @@ def setup_loaders(cfg: Config):
     """
     d = cfg.data
     joint = jt.build_train_joint_transform(
-        cfg.train.crop_size, crop_nopad=False, pre_size=d.pre_size,
+        cfg.train.crop_size, crop_nopad=d.crop_nopad, pre_size=d.pre_size,
         scale_min=d.scale_min, scale_max=d.scale_max, rrotate=d.rrotate,
     )
     photo = xt.build_train_input_transform(d.color_aug, d.gblur, d.bblur)
@@ -205,7 +205,8 @@ def setup_loaders(cfg: Config):
 
     train_sets = []
     for name in d.dataset:
-        ds = build_dataset(name, cfg, "train")
+        mode = d.city_mode if name == "cityscapes" else "train"
+        ds = build_dataset(name, cfg, mode)
         if not isinstance(ds, NullLoader):
             ds.joint_transform = joint
             ds.input_transform = photo

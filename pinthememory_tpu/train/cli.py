@@ -65,6 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bblur", action="store_true")
     p.add_argument("--rrotate", type=int, default=0)
     p.add_argument("--image_in", action="store_true")
+    p.add_argument("--crop_nopad", action="store_true",
+                   help="RandomCrop without border padding (train.py flag)")
+    p.add_argument("--city_mode", type=str, default="train",
+                   choices=["train", "trainval"],
+                   help="cityscapes source split (datasets/__init__.py:339)")
     p.add_argument("--num_workers", type=int, default=8)
     # optimization
     p.add_argument("--lr", type=float, default=0.01)
@@ -170,6 +175,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             cv=args.cv, class_uniform_pct=args.class_uniform_pct,
             class_uniform_tile=args.class_uniform_tile,
             scale_min=args.scale_min, scale_max=args.scale_max,
+            crop_nopad=args.crop_nopad, city_mode=args.city_mode,
             pre_size=args.pre_size, color_aug=args.color_aug,
             gblur=args.gblur, bblur=args.bblur, rrotate=args.rrotate,
             image_in=args.image_in, num_workers=args.num_workers,
