@@ -42,6 +42,8 @@ class WhiteningConfig:
     relax_denom: float = 0.0
     clusters: int = 50
     cov_stat_epoch: int = 0
+    trials: int = 10                # covstat rounds (train.py:172)
+    dynamic: bool = False           # periodic covstat (train.py:169-170)
 
     @property
     def use_wtloss(self) -> bool:

@@ -90,6 +90,10 @@ class CovMatrixISW:
     def get_mask_matrix(self):
         if self.mask_matrix is None:
             self.set_mask_matrix()
+        if self.mask_matrix is None:
+            # still no statistics (empty covstat dataset): fall back to the
+            # IRW-style all-off-diagonal mask so training can proceed
+            return self.reversal_eye, self.margin, self.num_off_diagonal
         return self.mask_matrix, 0.0, self.num_sensitive
 
 

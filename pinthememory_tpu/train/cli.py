@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--relax_denom", type=float, default=0.0)
     p.add_argument("--clusters", type=int, default=50)
     p.add_argument("--cov_stat_epoch", type=int, default=0)
+    p.add_argument("--trials", type=int, default=10,
+                   help="ISW covstat rounds (train.py:172; scripts pass 10)")
+    p.add_argument("--dynamic", action="store_true",
+                   help="re-gather ISW covstat every cov_stat_epoch+1 epochs "
+                        "(train.py:169-170)")
     p.add_argument("--memory", action="store_true")
     p.add_argument("--mem_slot", type=int, default=19)
     p.add_argument("--mem_dim", type=int, default=256)
@@ -152,6 +157,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
                 relax_denom=args.relax_denom,
                 clusters=args.clusters,
                 cov_stat_epoch=args.cov_stat_epoch,
+                trials=args.trials,
+                dynamic=args.dynamic,
             ),
             dtype=args.model_dtype,
         ),
@@ -323,7 +330,7 @@ class Trainer:
         for l in isw_layers:
             l.reset_mask_matrix()
         variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
-        trials = 1 if cfg.train.test_mode else 10
+        trials = 1 if cfg.train.test_mode else cfg.model.whitening.trials
         max_imgs = 10 if cfg.train.test_mode else 500
         for trial in range(trials):
             for name in cfg.data.covstat_val_dataset:
@@ -504,8 +511,10 @@ class Trainer:
         while True:
             # ISW: gather covariance statistics at the trigger epoch
             # (train.py:169-175)
-            if (cfg.model.whitening.use_isw
-                    and self.epoch == cfg.model.whitening.cov_stat_epoch):
+            w = cfg.model.whitening
+            if w.use_isw and (
+                    (w.dynamic and self.epoch % (w.cov_stat_epoch + 1) == w.cov_stat_epoch)
+                    or (not w.dynamic and self.epoch == w.cov_stat_epoch)):
                 self.validate_for_cov_stat()
             more = self.do_epoch()
             self.epoch += 1
