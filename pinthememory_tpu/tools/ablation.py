@@ -28,6 +28,8 @@ def build_parser():
     p.add_argument("--memory", action="store_true")
     p.add_argument("--snapshot", type=str, default=None)
     p.add_argument("--dataset", nargs="*", default=["cityscapes"])
+    p.add_argument("--source_domain", nargs="*", default=[],
+                   help="domains drawn as circles in the t-SNE (others: crosses)")
     p.add_argument("--dataset_root", type=str, default="~/dg_seg_dataset")
     p.add_argument("--tsne", action="store_true")
     p.add_argument("--mem_actmap", action="store_true")
@@ -128,7 +130,8 @@ def main(argv=None):
     if args.tsne and collector.features:
         if m_items is not None:
             collector.add_memory(np.asarray(m_items))
-        collector.draw(os.path.join(args.results_dir, "tsne"))
+        collector.draw(os.path.join(args.results_dir, "tsne"),
+                       source_domains=tuple(args.source_domain))
         print(f"t-SNE written to {args.results_dir}/tsne")
 
 

@@ -66,8 +66,12 @@ class TsneCollector:
             "memory_points": emb[n_base:] if self.mem_items is not None else None,
         }
 
-    def draw(self, out_dir: str, perplexity: float = 30.0, seed: int = 0):
-        """Class-colored and domain-colored scatters (tsnelib.py:88-216)."""
+    def draw(self, out_dir: str, perplexity: float = 30.0, seed: int = 0,
+             source_domains: tuple[str, ...] = ()):
+        """Class-colored and domain-colored scatters (tsnelib.py:88-216).
+
+        ``source_domains`` are drawn as circles, unseen domains as crosses
+        (the reference's --source_domain marker split)."""
         import matplotlib
 
         matplotlib.use("Agg")
@@ -93,8 +97,9 @@ class TsneCollector:
         cmap = plt.get_cmap("tab10")
         for i, d in enumerate(domain_names):
             m = res["domains"] == d
+            marker = "o" if (not source_domains or d in source_domains) else "x"
             ax.scatter(res["points"][m, 0], res["points"][m, 1],
-                       color=cmap(i % 10), s=8, label=d)
+                       color=cmap(i % 10), s=8, label=d, marker=marker)
         ax.legend()
         ax.set_title("t-SNE by domain")
         fig.savefig(os.path.join(out_dir, "tsne_domain.png"), dpi=150)
