@@ -66,6 +66,9 @@ def main():
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     ap.add_argument("--scales", default="0.5,1.0,2.0")
     ap.add_argument("--no_flip", action="store_true")
+    ap.add_argument("--fast_merge", action="store_true",
+                    help="OS4 merge + one upsample/image (off by default: "
+                         "not the reference protocol near tile seams)")
     ap.add_argument("--profile", type=str, default=None,
                     help="write a jax.profiler trace (XPlane) to this dir")
     args = ap.parse_args()
@@ -78,12 +81,17 @@ def main():
         out = model.apply(variables, tiles, None, m_items, train=False, with_aux=False)
         return out["main_out"]
 
+    def apply_low_fn(tiles):
+        out = model.apply(variables, tiles, None, m_items, train=False, with_aux=False)
+        return out["low_out"]
+
     ev = SlidingEvaluator(
         apply_fn,
         scales=tuple(float(s) for s in args.scales.split(",")),
         flip=not args.no_flip,
         crop_size=768,
         overlap=1.0 / 3.0,
+        apply_low_fn=apply_low_fn if args.fast_merge else None,
     )
 
     rng = np.random.default_rng(0)

@@ -44,6 +44,10 @@ def build_parser():
     p.add_argument("--sliding_overlap", type=float, default=1 / 3)
     p.add_argument("--dump_images", action="store_true")
     p.add_argument("--results_dir", type=str, default="./eval_results")
+    p.add_argument("--fast_merge", action="store_true",
+                   help="merge tiles at decoder resolution and upsample once "
+                        "per image (NOT the reference protocol near tile "
+                        "seams; see PARITY.md)")
     p.add_argument("--test_mode", action="store_true")
     p.add_argument("--split", type=str, default="val",
                    help="dataset split to evaluate (eval.py:80)")
@@ -107,10 +111,16 @@ def main(argv=None):
         out = model.apply(variables, tiles, None, m_items, train=False, with_aux=False)
         return out["main_out"]
 
+    def apply_low_fn(tiles):
+        out = model.apply(variables, tiles, None, m_items, train=False, with_aux=False)
+        return out["low_out"]
+
     scales = tuple(float(s) for s in args.scales.split(","))
     if args.inference_mode == "sliding":
-        ev = SlidingEvaluator(apply_fn, scales=scales, flip=not args.no_flip,
-                              crop_size=args.crop_size, overlap=args.sliding_overlap)
+        ev = SlidingEvaluator(
+            apply_fn, scales=scales, flip=not args.no_flip,
+            crop_size=args.crop_size, overlap=args.sliding_overlap,
+            apply_low_fn=apply_low_fn if args.fast_merge else None)
     else:
         ev = PoolingEvaluator(apply_fn, scales=scales, flip=not args.no_flip)
 

@@ -29,11 +29,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from pinthememory_tpu.evalx.tiling import (
+    TileGrid,
     compute_grid,
     extract_tiles,
     merge_tiles_segments,
 )
 from pinthememory_tpu.ops.resize import (
+    resize_bilinear_align_corners,
     resize_bilinear_half_pixel,
     resize_pil_bilinear,
 )
@@ -67,6 +69,7 @@ class SlidingEvaluator:
         scales: Sequence[float] = (0.5, 1.0, 2.0),
         flip: bool = True,
         tile_batch: int = 0,
+        apply_low_fn: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
     ):
         self.apply_fn = apply_fn
         self.num_classes = num_classes
@@ -75,7 +78,30 @@ class SlidingEvaluator:
         self.scales = tuple(scales)
         self.flip = flip
         self.tile_batch = tile_batch
+        # fast-merge: apply_low_fn returns the model's PRE-upsample logits
+        # (dec2, OS4 for the D16 heads); tiles merge at decoder resolution
+        # and upsample once per image.  NOT the reference protocol: per-tile
+        # align-corners upsample != upsample of the merged map near tile
+        # seams (interior pixels match exactly) -- opt-in, see PARITY.md.
+        self.apply_low_fn = apply_low_fn
         self._programs: dict = {}
+
+    def _low_factor(self, grid) -> int | None:
+        """Output-stride factor of apply_low_fn, or None if the fast path
+        cannot be used for this grid (non-divisible geometry)."""
+        if self.apply_low_fn is None:
+            return None
+        probe = jax.eval_shape(
+            self.apply_low_fn,
+            jax.ShapeDtypeStruct((1, grid.tile_h, grid.tile_w, 3), jnp.float32))
+        if grid.tile_h % probe.shape[1] or grid.tile_w % probe.shape[2]:
+            return None
+        f = grid.tile_h // probe.shape[1]
+        if grid.tile_w // probe.shape[2] != f:
+            return None
+        divisible = (grid.img_h % f == 0 and grid.img_w % f == 0
+                     and all(y % f == 0 and x % f == 0 for y, x in grid.coords))
+        return f if divisible else None
 
     def _scale_program(self, img_h: int, img_w: int, scale: float):
         key = (img_h, img_w, scale)
@@ -85,6 +111,40 @@ class SlidingEvaluator:
         sh, sw = int(img_h * scale), int(img_w * scale)
         grid = compute_grid(sh, sw, self.crop_size, scale, self.overlap)
         with_flip = self.flip
+
+        f = self._low_factor(grid)
+        if f is not None and f > 1:
+            lgrid = TileGrid(
+                tuple((y // f, x // f) for y, x in grid.coords),
+                grid.tile_h // f, grid.tile_w // f,
+                grid.img_h // f, grid.img_w // f)
+
+            @jax.jit
+            def run_fast(raw_img: jnp.ndarray):
+                img = resize_pil_bilinear(raw_img.astype(jnp.float32), (sh, sw))
+                img = normalize_image(img)
+                tiles = extract_tiles(img, grid)
+                if with_flip:
+                    tiles_f = extract_tiles(img[:, ::-1, :], grid)
+                    logits = self.apply_low_fn(
+                        jnp.concatenate([tiles, tiles_f], axis=0))
+                    lo, lf = jnp.split(logits, 2, axis=0)
+                    merged = 0.5 * (merge_tiles_segments(lo, lgrid)
+                                    + merge_tiles_segments(lf, lgrid)[:, ::-1, :])
+                else:
+                    logits = self.apply_low_fn(tiles)
+                    merged = merge_tiles_segments(logits, lgrid)
+                # one per-image upsample replaces the per-tile in-model one;
+                # ride the model's compute dtype (fast mode is already a
+                # documented approximation) -- f32-HIGHEST matmuls here cost
+                # more than the per-tile upsamples they replace
+                merged = merged.astype(logits.dtype)
+                merged = resize_bilinear_align_corners(merged, (sh, sw))
+                return resize_bilinear_half_pixel(merged, (img_h, img_w)).astype(
+                    jnp.float32)
+
+            self._programs[key] = run_fast
+            return run_fast
 
         @jax.jit
         def run(raw_img: jnp.ndarray):

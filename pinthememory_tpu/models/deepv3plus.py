@@ -205,6 +205,10 @@ class DeepV3Plus(nn.Module):
 
         return {
             "main_out": main_out,
+            # pre-upsample logits (dec2, OS4 for D16): consumed by the eval
+            # fast-merge path, which merges tiles at decoder resolution and
+            # upsamples once per image instead of once per tile
+            "low_out": dec2,
             "aux_out": aux_out,
             "inter_feature": inter_feature,
             "taps": feats["taps"],

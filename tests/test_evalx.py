@@ -112,3 +112,51 @@ def test_pooling_evaluator_probs_normalized():
     ev = PoolingEvaluator(_identity_apply, scales=(1.0, 0.5), flip=True)
     probs = np.asarray(ev.predict_probs(raw))
     np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
+
+
+def test_fast_merge_matches_exact_in_tile_interiors():
+    """Fast merge (merge at decoder res, upsample once) vs the exact path
+    (upsample per tile, merge): identical away from tile seams, close
+    overall, on a linear toy model whose low_out is random at OS4."""
+    import jax
+
+    from pinthememory_tpu.ops.resize import resize_bilinear_align_corners
+
+    rng = np.random.default_rng(8)
+    f = 4
+    w = jnp.asarray(rng.standard_normal((3, 19)).astype(np.float32) * 0.3)
+
+    def low_fn(tiles):  # (T, th, tw, 3) -> (T, th/f, tw/f, 19)
+        t = tiles.reshape(tiles.shape[0], tiles.shape[1] // f, f,
+                          tiles.shape[2] // f, f, 3).mean((2, 4))
+        return t @ w
+
+    def full_fn(tiles):
+        return resize_bilinear_align_corners(low_fn(tiles), tiles.shape[1:3])
+
+    raw = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+    kw = dict(crop_size=32, overlap=1 / 3, scales=(1.0, 2.0), flip=True)
+    exact = SlidingEvaluator(full_fn, **kw)
+    fast = SlidingEvaluator(full_fn, apply_low_fn=low_fn, **kw)
+    a = np.asarray(exact.predict_logits(raw))
+    b = np.asarray(fast.predict_logits(raw))
+    assert np.abs(a - b).mean() < 0.05 * np.abs(a).mean()
+    # the overwhelming majority of pixels agree exactly at argmax
+    agree = (a.argmax(-1) == b.argmax(-1)).mean()
+    assert agree > 0.97, agree
+
+
+def test_fast_merge_falls_back_on_indivisible_grid():
+    """Odd geometry must silently use the exact path."""
+    def low_fn(tiles):
+        return tiles[:, ::4, ::4, :1]
+
+    def full_fn(tiles):
+        return jnp.repeat(tiles[..., :1], 19, axis=-1)
+
+    rng = np.random.default_rng(9)
+    raw = rng.integers(0, 255, (50, 70, 3), dtype=np.uint8)
+    ev = SlidingEvaluator(full_fn, apply_low_fn=low_fn, crop_size=30,
+                          overlap=1 / 3, scales=(1.0,), flip=False)
+    out = np.asarray(ev.predict_logits(raw))   # 30/4 etc. not divisible
+    assert out.shape == (50, 70, 19)
