@@ -190,8 +190,12 @@ def build_dataset(name: str, cfg: Config, mode: str, **kw):
     return cls(root, mode=mode, seed=cfg.train.seed, **kw)
 
 
-def setup_loaders(cfg: Config):
+def setup_loaders(cfg: Config, batch_scale: int = 1):
     """Reference-shaped entry (datasets/__init__.py:310-668).
+
+    ``batch_scale`` multiplies the train batch by the data-parallel degree:
+    the reference's bs_mult is per GPU (datasets/__init__.py:323-326), so the
+    GSPMD global batch is bs_mult x data devices.
 
     Returns (train_loader, val_loaders: dict, extra_val_loaders: dict).
     """
@@ -232,7 +236,7 @@ def setup_loaders(cfg: Config):
 
     train_loader = DataLoader(
         train_set,
-        batch_size=cfg.train.bs_mult,
+        batch_size=cfg.train.bs_mult * batch_scale,
         sampler=ShardedSampler(train_set, shuffle=True, seed=cfg.train.seed,
                                num_shards=num_shards, shard_id=shard_id),
         num_workers=d.num_workers,

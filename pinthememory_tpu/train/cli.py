@@ -215,9 +215,24 @@ class Trainer:
         from pinthememory_tpu.utils.checkpoint import CheckpointManager, load_torch_snapshot
         from pinthememory_tpu.utils.logx import ExperimentLogger
 
+        from pinthememory_tpu.parallel.mesh import (
+            make_mesh,
+            replicate_state,
+            shard_train_step,
+        )
+
         self.cfg = cfg
         self.log = ExperimentLogger(cfg)
-        self.train_loader, self.val_loaders = setup_loaders(cfg)
+        # GSPMD data parallelism over every visible device: the reference's
+        # bs_mult-per-GPU semantics (datasets/__init__.py:323-326) -- the
+        # global batch is bs_mult x data devices and XLA inserts the
+        # gradient/BN/memory-write collectives (SURVEY.md §2.6)
+        self.mesh = make_mesh(jax.devices(), spatial=1)
+        n_data = self.mesh.shape["data"]
+        if n_data > 1:
+            self.log.info(f"data-parallel over {n_data} devices "
+                          f"(global batch {cfg.train.bs_mult * n_data})")
+        self.train_loader, self.val_loaders = setup_loaders(cfg, batch_scale=n_data)
 
         self.model = build_model(cfg.model)
         key = jax.random.PRNGKey(cfg.train.seed)
@@ -260,10 +275,15 @@ class Trainer:
                     params=loaded.params, batch_stats=loaded.batch_stats,
                     m_items=loaded.m_items)
             self.log.info(f"resumed native snapshot {cfg.snapshot}: {meta}")
+        if n_data > 1:
+            self.state = replicate_state(self.mesh, self.state)
         self.step_agg = make_train_step_agg(self.model, cfg, self.tx)
         self.step_mldg = make_train_step_mldg(self.model, cfg, self.tx)
         self.eval_step = make_eval_step(self.model, cfg)
         self.mem_init_step = make_memory_init_step(self.model)
+        if n_data > 1:
+            self.step_agg = shard_train_step(self.step_agg, self.mesh)
+            self.step_mldg = shard_train_step(self.step_mldg, self.mesh)
 
         # whitening bookkeeping (reference: deepv3plus.py:457-467,
         # train.py:163-175)
