@@ -98,6 +98,7 @@ class TrainConfig:
     bs_mult_val: int = 1
     crop_size: int = 768
     mldg: bool = False              # MLDG meta-learning episode
+    per_domain: bool = False        # robustnetver per-domain episode (train.py:729)
     inner_lr: float = 0.001
     inner_lr_anneal: bool = False
     no_aux_loss: bool = False

@@ -137,6 +137,13 @@ class Synthia(SegmentationDataset):
         self.root = root
         img_root = os.path.join(root, "RGB")
         mask_root = os.path.join(root, "GT", "LABELS")
+        # the reference reads RGB/{train,val} subfolders (synthia.py:83-88),
+        # materialized from split_data/synthia_split_*.txt (see
+        # tools/make_splits.py); fall back to a flat RGB/ layout
+        split = "train" if mode == "train" else "val"
+        if os.path.isdir(os.path.join(img_root, split)):
+            img_root = os.path.join(img_root, split)
+            mask_root = os.path.join(mask_root, split)
         self.imgs = find_pairs(img_root, mask_root, ".png", ".png")
 
     def decode_mask(self, mask_path: str) -> np.ndarray:

@@ -46,6 +46,15 @@ _V3PLUS_ARCHS = {
     # DeepV3 (no low-level skip, network/deepv3.py)
     "DeepR50V3D": ("resnet-50", "D16", False),
     "DeepR101V3D": ("resnet-101", "D16", False),
+    # SE-ResNeXt trunks (network/SEresnext.py — dead in the reference,
+    # working here; RobustNet-lineage constructor names)
+    "DeepSRNX50V3PlusD": ("seresnext-50", "D16", True),
+    "DeepSRNX101V3PlusD": ("seresnext-101", "D16", True),
+    # WiderResNet-38 A2 trunk (network/wider_resnet.py — dead in the
+    # reference; also the reference's *default* --arch DeepWV3Plus names a
+    # constructor that does not exist there, train.py:1046 — working here,
+    # dilated OS8)
+    "DeepWV3Plus": ("wresnet-38", "D", True),
 }
 
 

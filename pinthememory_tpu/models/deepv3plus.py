@@ -54,6 +54,18 @@ def make_backbone(trunk: str, wt_layer, variant: str, dtype):
         return MNASNetBackbone(
             alpha=0.5 if trunk == "mnasnet_05" else 1.0,
             wt_layer=tuple(wt_layer), variant=variant, dtype=dtype)
+    if trunk == "seresnext-50":
+        from pinthememory_tpu.models.seresnext import se_resnext50_32x4d
+
+        return se_resnext50_32x4d(wt_layer, variant, dtype)
+    if trunk == "seresnext-101":
+        from pinthememory_tpu.models.seresnext import se_resnext101_32x4d
+
+        return se_resnext101_32x4d(wt_layer, variant, dtype)
+    if trunk == "wresnet-38":
+        from pinthememory_tpu.models.wider_resnet import wider_resnet38_a2
+
+        return wider_resnet38_a2(wt_layer, variant, dtype)
     raise ValueError(f"unknown trunk {trunk!r}")
 
 
@@ -72,6 +84,9 @@ def trunk_channels(trunk: str) -> tuple[int, int, int]:
         "shufflenetv2": (116, 464, 1024),
         "mnasnet_05": (24, 160, 1280),
         "mnasnet_10": (40, 320, 1280),
+        "seresnext-50": (256, 1024, 2048),
+        "seresnext-101": (256, 1024, 2048),
+        "wresnet-38": (128, 2048, 4096),
     }
     return table[trunk]
 

@@ -286,3 +286,103 @@ class MemoryModule(nn.Module):
             cls_loss=cls_loss,
             m_items=new_items,
         )
+
+
+# ---------------------------------------------------------------------------
+# Auxiliary memory losses / updates from the reference that are NOT on its
+# live training path (SURVEY.md §2.2 marks them dead-but-present).  Provided
+# as pure functions for API completeness; all are jit-compatible.
+# ---------------------------------------------------------------------------
+
+
+def memory_orthogonality_loss(m_items: jnp.ndarray) -> jnp.ndarray:
+    """``MemoryLoss`` (memory.py:58-65): mean |(M Mᵀ)/2 + 1/2 − I| off the
+    identity, summed over all entries / (m(m−1))."""
+    m = m_items.shape[0]
+    sim = jnp.matmul(m_items, m_items.T, precision=_HP) / 2.0 + 0.5
+    dev = jnp.abs(sim - jnp.eye(m, dtype=sim.dtype))
+    return jnp.sum(dev) / (m * (m - 1))
+
+
+def gather_loss(query: jnp.ndarray, m_items: jnp.ndarray) -> jnp.ndarray:
+    """``Memory_sup.gather_loss`` (memory.py:300-315): MSE between each pixel
+    query and its top-1 (softmax-over-slots) memory slot, slots detached.
+
+    query: (B, H, W, D) unnormalized features (the reference normalizes
+    inside get_score's caller; scores here use raw dot products exactly as
+    memory.py:305 does on the already-viewed query)."""
+    d = query.shape[-1]
+    flat = query.reshape(-1, d)
+    score = jnp.matmul(flat, jax.lax.stop_gradient(m_items).T, precision=_HP)
+    top1 = jnp.argmax(score, axis=1)
+    target = jax.lax.stop_gradient(m_items)[top1]
+    return jnp.mean(jnp.square(flat - target))
+
+
+def pointwise_gather_loss(query: jnp.ndarray, m_items: jnp.ndarray) -> jnp.ndarray:
+    """``pointwise_gather_loss`` (memory.py:292-298): the unreduced
+    (per-element) variant of :func:`gather_loss`."""
+    d = query.shape[-1]
+    flat = query.reshape(-1, d)
+    score = jnp.matmul(flat, jax.lax.stop_gradient(m_items).T, precision=_HP)
+    top1 = jnp.argmax(score, axis=1)
+    target = jax.lax.stop_gradient(m_items)[top1]
+    return jnp.square(flat - target)
+
+
+def spread_loss(
+    query: jnp.ndarray, m_items: jnp.ndarray, margin: float = 1.0
+) -> jnp.ndarray:
+    """``spread_loss`` (memory.py:274-290): triplet margin loss with the
+    1st/2nd-closest slots as positive/negative (both detached).
+
+    torch ``TripletMarginLoss`` semantics: mean(max(‖a−p‖₂ − ‖a−n‖₂ + m, 0)),
+    with the distance's eps folded in as torch does (1e-6 inside the norm)."""
+    d = query.shape[-1]
+    flat = query.reshape(-1, d)
+    keys = jax.lax.stop_gradient(m_items)
+    score = jnp.matmul(flat, keys.T, precision=_HP)
+    _, idx = jax.lax.top_k(score, 2)
+    pos, neg = keys[idx[:, 0]], keys[idx[:, 1]]
+    eps = 1e-6
+    d_pos = jnp.sqrt(jnp.sum(jnp.square(flat - pos + eps), axis=1))
+    d_neg = jnp.sqrt(jnp.sum(jnp.square(flat - neg + eps), axis=1))
+    return jnp.mean(jnp.maximum(d_pos - d_neg + margin, 0.0))
+
+
+def unsupervised_memory_update(
+    m_items: jnp.ndarray, query: jnp.ndarray, momentum: float
+) -> jnp.ndarray:
+    """``unsupervised_memupdate`` (memory.py:339-361): label-free write.
+
+    Each pixel soft-assigns to slots (softmax over slots); per-slot update
+    vector = attention-weighted mean of queries (columns normalized by their
+    total weight); momentum blend + renormalize, detached."""
+    d = query.shape[-1]
+    qn = l2_normalize(query, axis=-1).reshape(-1, d)
+    score = jnp.matmul(qn, m_items.T, precision=_HP)
+    attn = jax.nn.softmax(score, axis=1)
+    attn = attn / jnp.maximum(jnp.sum(attn, axis=0, keepdims=True), 1e-12)
+    update = l2_normalize(jnp.matmul(attn.T, qn, precision=_HP), axis=1)
+    new = (1.0 - momentum) * update + momentum * m_items
+    return jax.lax.stop_gradient(l2_normalize(new, axis=1))
+
+
+def top_scoring_update(
+    m_items: jnp.ndarray, query: jnp.ndarray
+) -> jnp.ndarray:
+    """``get_update_query`` (memory.py:147-165), corrected and vectorized.
+
+    Per slot: sum of the queries whose argmax slot is that slot, each scaled
+    by score/max-score-of-that-slot; absent slots get zeros.  (The reference
+    version has a ``return`` inside its loop so it only ever computes slot 0
+    — a bug on dead code; this is the intended full computation, documented
+    in PARITY.md.)"""
+    m, d = m_items.shape
+    flat = query.reshape(-1, d)
+    score = jnp.matmul(flat, m_items.T, precision=_HP)
+    top1 = jnp.argmax(score, axis=1)
+    assign = jax.nn.one_hot(top1, m, dtype=score.dtype)          # (N, M)
+    col_max = jnp.maximum(jnp.max(score, axis=0), 1e-12)          # (M,)
+    weights = assign * score / col_max[None, :]                   # (N, M)
+    return jnp.matmul(weights.T, flat, precision=_HP)             # (M, D)

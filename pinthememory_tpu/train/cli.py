@@ -87,6 +87,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bs_mult_val", type=int, default=1)
     # episodes
     p.add_argument("--mldg", action="store_true")
+    p.add_argument("--per_domain", action="store_true",
+                   help="robustnetver per-domain episode: one optimizer step "
+                        "per source domain per iteration (train.py:729-845)")
     p.add_argument("--inner_lr", type=float, default=0.001)
     p.add_argument("--inner_lr_anneal", action="store_true")
     p.add_argument("--no_aux_loss", action="store_true")
@@ -169,7 +172,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         train=TrainConfig(
             max_iter=args.max_iter, max_epoch=args.max_epoch,
             bs_mult=args.bs_mult, bs_mult_val=args.bs_mult_val,
-            crop_size=args.crop_size, mldg=args.mldg, inner_lr=args.inner_lr,
+            crop_size=args.crop_size, mldg=args.mldg,
+            per_domain=args.per_domain, inner_lr=args.inner_lr,
             inner_lr_anneal=args.inner_lr_anneal, no_aux_loss=args.no_aux_loss,
             mem_readloss=args.mem_readloss, mem_divloss=args.mem_divloss,
             mem_clsloss=args.mem_clsloss, img_wt_loss=args.img_wt_loss,
@@ -279,11 +283,23 @@ class Trainer:
             self.state = replicate_state(self.mesh, self.state)
         self.step_agg = make_train_step_agg(self.model, cfg, self.tx)
         self.step_mldg = make_train_step_mldg(self.model, cfg, self.tx)
+        self.step_pd = None
+        if cfg.train.per_domain:
+            # robustnetver: unscaled SGD state (LR applied per-iteration
+            # inside the step; see train/optim.py)
+            from pinthememory_tpu.train.loops import make_train_step_per_domain
+            from pinthememory_tpu.train.optim import make_optimizer_unscaled
+
+            tx_pd = make_optimizer_unscaled(cfg.optim)
+            self.state = self.state.replace(opt_state=tx_pd.init(self.state.params))
+            self.step_pd = make_train_step_per_domain(self.model, cfg, tx_pd)
         self.eval_step = make_eval_step(self.model, cfg)
         self.mem_init_step = make_memory_init_step(self.model)
         if n_data > 1:
             self.step_agg = shard_train_step(self.step_agg, self.mesh)
             self.step_mldg = shard_train_step(self.step_mldg, self.mesh)
+            if self.step_pd is not None:
+                self.step_pd = shard_train_step(self.step_pd, self.mesh)
 
         # whitening bookkeeping (reference: deepv3plus.py:457-467,
         # train.py:163-175)
@@ -444,6 +460,10 @@ class Trainer:
                     wt_masks, apply_wt)
                 log_metrics = {f"inner_{k}": v for k, v in metrics["inner"].items()}
                 log_metrics.update({f"outer_{k}": v for k, v in metrics["outer"].items()})
+            elif self.step_pd is not None:
+                self.state, metrics = self.step_pd(
+                    self.state, jbatch, sub, wt_masks, apply_wt)
+                log_metrics = dict(metrics)
             else:
                 self.state, metrics = self.step_agg(
                     self.state, jbatch, sub, wt_masks, apply_wt)

@@ -352,3 +352,74 @@ def meta_split(rng, num_domains: int) -> tuple[tuple[int, ...], tuple[int, ...]]
     perm = np.asarray(rng.permutation(num_domains))
     i = int(rng.integers(1, num_domains))
     return tuple(int(x) for x in perm[:i]), tuple(int(x) for x in perm[i:])
+
+
+def make_train_step_per_domain(model, cfg: Config, tx_unscaled) -> Callable:
+    """Per-domain episode (reference ``train_robustnetver``, train.py:729-845).
+
+    Unreachable from the reference's ``do_epoch`` dispatch (SURVEY.md §2.1
+    marks it dead) but part of the inventory: every iteration loops over the
+    source domains, taking one full optimizer step per domain on
+    ``main + 0.4·aux (+ wt_reg·wt)`` -- no memory write, no meta episode.
+    The LR scheduler ticks once per *iteration* (train.py:840), not once per
+    optimizer step, so this step uses the unscaled SGD transformation (decay
+    + momentum trace) and applies the iteration LR explicitly.
+    """
+
+    from pinthememory_tpu.train.optim import lr_schedule
+
+    lr_fn = lr_schedule(cfg.optim)
+    aux_w = 0.0 if cfg.train.no_aux_loss else cfg.train.aux_loss_weight
+    use_wt = cfg.model.whitening.use_wtloss
+    wt_w = cfg.model.whitening.wt_reg_weight
+
+    @functools.partial(jax.jit, static_argnames=("apply_wtloss",))
+    def step(state: TrainState, batch: dict, rng: jax.Array,
+             wt_masks=None, apply_wtloss: bool = True):
+        num_domains = batch["image"].shape[1]
+        lr = lr_fn(state.step)
+        params, stats, opt = state.params, state.batch_stats, state.opt_state
+        metrics = None
+
+        for di in range(num_domains):  # static unroll, one step per domain
+            dom = _select_domains(batch, (di,))
+            rng, sub = jax.random.split(rng)
+
+            def loss_fn(p, stats=stats, dom=dom, sub=sub):
+                outputs, mutated = model.apply(
+                    {"params": p, "batch_stats": stats},
+                    dom["image"],
+                    dom["gts"],
+                    state.m_items,
+                    train=True,
+                    rng=sub,
+                    memory_writing=False,  # robustnetver never writes memory
+                    mutable=["batch_stats"],
+                )
+                wt = whitening_loss_from_taps(outputs["taps"], wt_masks)
+                bundle = assemble_losses(
+                    cfg, outputs, dom["gts"], dom["aux_gts"],
+                    wt_loss=wt, apply_wtloss=apply_wtloss)
+                # robustnetver total = main + 0.4·aux + wt_reg·wt only
+                # (train.py:786-796): memory read losses are NOT summed.
+                total = bundle.main + aux_w * bundle.aux
+                if use_wt:
+                    total = total + wt_w * wt * (1.0 if apply_wtloss else 0.0)
+                return total, (bundle, mutated["batch_stats"])
+
+            (_, (bundle, stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt = tx_unscaled.update(grads, opt, params)
+            params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
+            metrics = bundle._asdict()
+
+        new_state = TrainState(
+            params=params,
+            batch_stats=stats,
+            m_items=state.m_items,
+            opt_state=opt,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return step

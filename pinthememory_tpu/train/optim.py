@@ -47,3 +47,17 @@ def sgd_step(params, grads, lr: float, momentum_buf=None, momentum: float = 0.0)
     new_buf = jax.tree.map(lambda b, g: momentum * b + g, momentum_buf, grads)
     new_params = jax.tree.map(lambda p, b: p - lr * b, params, new_buf)
     return new_params, new_buf
+
+
+def make_optimizer_unscaled(oc: OptimConfig) -> optax.GradientTransformation:
+    """SGD *without* the LR scaling stage (decay + momentum trace only).
+
+    Used by the per-domain episode (reference ``train_robustnetver``,
+    train.py:729-845), which takes one optimizer step per source domain per
+    iteration but ticks the LR scheduler once per *iteration* -- so the LR
+    is applied outside the transformation, from the iteration counter.
+    """
+    return optax.chain(
+        optax.add_decayed_weights(oc.weight_decay),
+        optax.trace(decay=oc.momentum, nesterov=oc.nesterov),
+    )

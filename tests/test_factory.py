@@ -86,3 +86,39 @@ def test_mnasnet_backbone_feature_geometry():
         assert feats["low_level"].shape == (1, 8, 8, low_c)
         assert feats["aux"].shape == (1, 4, 4, aux_c)           # OS16
         assert feats["out"].shape == (1, 4, 4, 1280)            # OS16 (D16)
+
+
+def test_seresnext_backbone_feature_geometry():
+    """SE-ResNeXt trunks (network/SEresnext.py — dead in the reference,
+    working here): ResNet-compatible channel plan, D16 geometry, SE gate."""
+    from pinthememory_tpu.models.seresnext import se_resnext50_32x4d
+
+    bb = se_resnext50_32x4d(variant="D16")
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = bb.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    feats = bb.apply(variables, x, train=False)
+    assert feats["low_level"].shape == (1, 16, 16, 256)   # layer1 @ OS4
+    assert feats["aux"].shape == (1, 4, 4, 1024)          # layer3 @ OS16
+    assert feats["out"].shape == (1, 4, 4, 2048)          # layer4 @ OS16 (D16)
+    # the SE gate exists on every block
+    p = variables["params"]
+    assert "se_module" in p["layer1_block0"]
+
+
+def test_wider_resnet_backbone_feature_geometry():
+    """WiderResNet-38 A2 (network/wider_resnet.py — dead in the reference,
+    working here): dilated OS8 plan, (128, 2048, 4096) feature taps."""
+    from pinthememory_tpu.models.wider_resnet import wider_resnet38_a2
+
+    bb = wider_resnet38_a2(variant="D")
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = bb.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    feats = bb.apply(variables, x, train=False)
+    assert feats["low_level"].shape == (1, 32, 32, 128)   # mod2 @ OS2
+    assert feats["aux"].shape == (1, 8, 8, 2048)          # mod6 @ OS8
+    assert feats["out"].shape == (1, 8, 8, 4096)          # mod7 @ OS8 (dilated)
+    # non-dilated A2 strides mod4/5/6 -> OS32
+    bb32 = wider_resnet38_a2(variant="D32")
+    v32 = bb32.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    f32 = bb32.apply(v32, x, train=False)
+    assert f32["out"].shape == (1, 2, 2, 4096)

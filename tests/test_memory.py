@@ -135,3 +135,73 @@ def test_momentum_update_gradient_only_through_statistics():
 
     g2 = jax.grad(f2)(jnp.asarray(query))
     assert float(jnp.max(jnp.abs(g2))) > 0.0
+
+
+# ---------------------------------------------------------------------------
+# Auxiliary (dead-on-the-reference-live-path) memory helpers vs torch goldens
+# restating memory.py:58-65, 274-315, 339-361.
+# ---------------------------------------------------------------------------
+
+
+def test_memory_orthogonality_loss_matches_torch():
+    from pinthememory_tpu.models.memory import memory_orthogonality_loss
+
+    _, mem, _ = _setup()
+    mt = torch.from_numpy(mem)
+    sim = torch.matmul(mt, mt.t()) / 2 + 0.5
+    ref = torch.sum(torch.abs(sim - torch.eye(M))) / (M * (M - 1))
+    got = memory_orthogonality_loss(jnp.asarray(mem))
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), rtol=1e-5)
+
+
+def test_gather_and_spread_losses_match_torch():
+    from pinthememory_tpu.models.memory import gather_loss, spread_loss
+
+    query, mem, _ = _setup()
+    qt = torch.from_numpy(query.reshape(-1, D))
+    mt = torch.from_numpy(mem)
+    score = torch.matmul(qt, mt.t())
+    # gather: MSE vs top-1 slot (memory.py:300-315)
+    _, gi = torch.topk(F.softmax(score, dim=1), 1, dim=1)
+    ref_g = F.mse_loss(qt, mt[gi[:, 0]].detach())
+    got_g = gather_loss(jnp.asarray(query), jnp.asarray(mem))
+    np.testing.assert_allclose(np.asarray(got_g), ref_g.numpy(), rtol=1e-5)
+    # spread: triplet(top1, top2) (memory.py:274-290)
+    _, gi2 = torch.topk(F.softmax(score, dim=1), 2, dim=1)
+    trip = torch.nn.TripletMarginLoss(margin=1.0)
+    ref_s = trip(qt, mt[gi2[:, 0]].detach(), mt[gi2[:, 1]].detach())
+    got_s = spread_loss(jnp.asarray(query), jnp.asarray(mem))
+    np.testing.assert_allclose(np.asarray(got_s), ref_s.numpy(), rtol=1e-5)
+
+
+def test_unsupervised_update_matches_torch():
+    from pinthememory_tpu.models.memory import unsupervised_memory_update
+
+    query, mem, _ = _setup()
+    momentum = 0.8
+    # torch golden restating memory.py:339-361
+    qt = F.normalize(torch.from_numpy(query), dim=-1).reshape(-1, D)
+    mt = torch.from_numpy(mem)
+    score = torch.matmul(qt, mt.t())
+    sm = F.softmax(score, dim=1)
+    sm = sm / sm.sum(dim=0, keepdim=True)
+    upd = F.normalize(torch.matmul(sm.t(), qt), dim=1)
+    ref = F.normalize((1 - momentum) * upd + momentum * mt, dim=1)
+    got = unsupervised_memory_update(jnp.asarray(mem), jnp.asarray(query), momentum)
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_top_scoring_update_shapes_and_assignment():
+    from pinthememory_tpu.models.memory import top_scoring_update
+
+    query, mem, _ = _setup()
+    got = np.asarray(top_scoring_update(jnp.asarray(mem), jnp.asarray(query)))
+    assert got.shape == (M, D)
+    # slots that win no argmax stay zero; winners aggregate their queries
+    flat = query.reshape(-1, D)
+    top1 = np.argmax(flat @ mem.T, axis=1)
+    for slot in range(M):
+        if not np.any(top1 == slot):
+            np.testing.assert_array_equal(got[slot], np.zeros(D, np.float32))
+        else:
+            assert np.linalg.norm(got[slot]) > 0

@@ -1,0 +1,89 @@
+"""Smoke tests for the analysis tools (reference: ablation.py, tsnelib.py,
+the commented-out ptflops probe eval.py:47-58).
+
+These run on synthetic data only -- the tools' full CLIs need datasets and
+checkpoints on disk; here we pin the library-level behavior: t-SNE basket
+accumulation + plot files, memory-activation heatmap dumps, and the XLA
+cost-analysis FLOPs probe.
+"""
+
+import numpy as np
+import pytest
+
+
+def test_tsne_collector_and_draw(tmp_path):
+    from pinthememory_tpu.tools.tsne import TsneCollector
+
+    rng = np.random.default_rng(0)
+    col = TsneCollector()
+    for dom in ("gtav", "cityscapes"):
+        for _ in range(3):
+            feats = rng.standard_normal((8, 8, 16)).astype(np.float32)
+            labels = rng.integers(0, 19, (8, 8))
+            col.add_batch(feats, labels, dom)
+    col.add_memory(rng.standard_normal((19, 16)).astype(np.float32))
+
+    # basket vectors are L2-normalized class means (tsnelib.py:48-74)
+    norms = np.linalg.norm(np.stack(col.features), axis=1)
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
+
+    out = col.embed(perplexity=5.0, seed=0)
+    assert out["points"].shape[1] == 2
+    assert out["memory_points"].shape == (19, 2)
+    col.draw(str(tmp_path), perplexity=5.0, seed=0,
+             source_domains=["gtav"])
+    pngs = list(tmp_path.glob("*.png"))
+    assert len(pngs) >= 2  # class-colored + domain-colored scatters
+
+
+def test_memact_heatmaps(tmp_path):
+    from pinthememory_tpu.tools.ablation import memact_heatmaps
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (32, 48, 3), dtype=np.uint8)
+    score = rng.random((8, 12, 19)).astype(np.float32)
+    memact_heatmaps(img, score, str(tmp_path), "img0")
+    files = sorted(tmp_path.glob("img0_slot*.png"))
+    assert len(files) == 19
+    from PIL import Image
+
+    assert Image.open(files[0]).size == (48, 32)  # back at image resolution
+
+
+def test_flops_probe_counts_model_flops():
+    from pinthememory_tpu.tools.flops import analyze
+
+    rep = analyze("DeepR18V3PlusD", hw=64, batch=1, memory=False)
+    # R18 at 64x64 is a few GFLOPs; anything positive proves the XLA
+    # cost-analysis path works (the reference's ptflops probe is dead code,
+    # eval.py:47-58)
+    assert rep["gflops"] > 0.1
+    assert rep["params_M"] > 10
+
+
+def test_make_splits_materializes_gtav_layout(tmp_path):
+    """tools/make_splits reproduces the reference's data-prep step
+    (README.md:94 + split_data/ lists -> gtav.py:86-119 folder layout)."""
+    from pinthememory_tpu.tools.make_splits import materialize_gtav
+
+    root = tmp_path / "GTAV"
+    (root / "images").mkdir(parents=True)
+    (root / "labels").mkdir(parents=True)
+    names = [f"{i:05d}.png" for i in range(1, 7)]
+    for n in names:
+        (root / "images" / n).write_bytes(b"img")
+        (root / "labels" / n).write_bytes(b"lbl")
+    split_dir = tmp_path / "split_data"
+    split_dir.mkdir()
+    (split_dir / "gtav_split_train.txt").write_text("\n".join(names[:3]))
+    (split_dir / "gtav_split_val.txt").write_text("\n".join(names[3:5]))
+    # test list includes a missing file: tolerated (gtav.py drops mismatches)
+    (split_dir / "gtav_split_test.txt").write_text(names[5] + "\nmissing.png")
+
+    report = materialize_gtav(str(root), str(split_dir))
+    assert report == {"train": (3, 3), "valid": (2, 2), "test": (1, 1)}
+    assert (root / "images" / "valid" / names[3]).exists()
+    assert (root / "labels" / "test" / names[5]).exists()
+    # idempotent
+    report2 = materialize_gtav(str(root), str(split_dir))
+    assert report2 == report

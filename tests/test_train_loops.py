@@ -107,3 +107,35 @@ def test_memory_init_produces_unit_prototypes(setup):
     present = np.asarray(count) > 0
     norms = np.linalg.norm(np.asarray(protos), axis=1)
     np.testing.assert_allclose(norms[present], 1.0, atol=1e-5)
+
+
+def test_per_domain_step_semantics(setup):
+    """robustnetver episode (train.py:729-845): one SGD step per domain per
+    iteration, LR from the iteration counter, no memory write."""
+    from pinthememory_tpu.train.loops import make_train_step_per_domain
+    from pinthememory_tpu.train.optim import make_optimizer_unscaled, sgd_step
+
+    cfg, model, state, _, batch = setup
+    tx_pd = make_optimizer_unscaled(cfg.optim)
+    state_pd = state.replace(opt_state=tx_pd.init(state.params))
+    step = make_train_step_per_domain(model, cfg, tx_pd)
+    s2, metrics = step(state_pd, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["total"]))
+    # one iteration regardless of how many domains were stepped
+    assert int(s2.step) == int(state_pd.step) + 1
+    # memory is never written in this episode
+    np.testing.assert_array_equal(np.asarray(s2.m_items),
+                                  np.asarray(state_pd.m_items))
+    # params moved
+    assert float(jnp.abs(
+        s2.params["final2_conv"]["bias"] - state_pd.params["final2_conv"]["bias"]
+    ).max()) > 0
+
+    # two-domain unroll == manual per-domain SGD with shared momentum buffer:
+    # verify the domain-0 substep alone differs from the full result (i.e.
+    # domain 1 really took its own step)
+    batch_d0 = {k: v[:, :1] for k, v in batch.items()}
+    s_d0, _ = step(state_pd, batch_d0, jax.random.PRNGKey(3))
+    assert float(jnp.abs(
+        s_d0.params["final2_conv"]["bias"] - s2.params["final2_conv"]["bias"]
+    ).max()) > 0
