@@ -101,6 +101,11 @@ class TrainConfig:
     per_domain: bool = False        # robustnetver per-domain episode (train.py:729)
     inner_lr: float = 0.001
     inner_lr_anneal: bool = False
+    # opt-in "intended" MLDG hard-aug wiring: hard-augment exactly the
+    # episode's meta-test domains instead of the reference's quirky
+    # domain-0-permanently behavior (train.py:199-211); see
+    # data/loader.arm_meta_augmentation
+    meta_aug_episode: bool = False
     no_aux_loss: bool = False
     aux_loss_weight: float = 0.4    # train.py:222
     mem_readloss: float = 0.02
@@ -163,6 +168,10 @@ class Config:
     tb_path: str = "./logs/tb"
     snapshot: str | None = None
     restore_optimizer: bool = False
+    # torchvision-format ImageNet trunk weights (.pth) for backbone init
+    # (reference: model_zoo.load_url + forgiving_state_restore,
+    # Resnet.py:499-559); ignored when a full snapshot is given
+    pretrained: str | None = None
 
 
 def replace(cfg: Any, **kwargs: Any) -> Any:

@@ -48,6 +48,11 @@ class SegmentationDataset:
         self.eval_mode = eval_mode
         self.meta_transform = meta_transform
         self.running_metatest = False  # cityscapes.py:290-295
+        # opt-in "intended" MLDG variant: emit (normal, hard-aug) image pairs
+        # so the trainer can hard-augment exactly the episode's meta-test
+        # domains (the reference instead flips running_metatest on domain 0
+        # permanently -- train.py:199-211; see arm_meta_augmentation)
+        self.emit_meta_pair = False
         self.dump_images = dump_images
         self.jointwtborder = jointwtborder
         self.imgs: list[tuple[str, str]] = []
@@ -81,7 +86,8 @@ class SegmentationDataset:
         return img, mask, name, centroid
 
     def __getitem__(self, index: int):
-        rng = random.Random((self.seed, self.epoch, index))
+        # stable int mix: random.Random rejects tuple seeds on py3.12
+        rng = random.Random((self.seed * 1_000_003 + self.epoch) * 1_000_003 + index)
         img, mask_np, name, centroid = self._load(index)
         mask = Image.fromarray(mask_np, mode="L")
 
@@ -109,13 +115,23 @@ class SegmentationDataset:
         if self.joint_transform is not None:
             img, mask = self.joint_transform(img, mask, rng, centroid)
 
-        if self.running_metatest and self.meta_transform is not None:
-            img = self.meta_transform(img, rng)
-        elif self.input_transform is not None:
-            img = self.input_transform(img, rng)
-
-        img01 = xt.to_float01(img)
-        imgn = xt.normalize(img01, image_in=self.image_in)
+        if self.emit_meta_pair and self.meta_transform is not None:
+            # per-episode variant: both photometric versions of the same
+            # geometric crop; trainer picks index 1 for meta-test domains
+            img_norm = (self.input_transform(img, rng)
+                        if self.input_transform is not None else img)
+            img_hard = self.meta_transform(img, rng)
+            imgn = np.stack([
+                xt.normalize(xt.to_float01(img_norm), image_in=self.image_in),
+                xt.normalize(xt.to_float01(img_hard), image_in=self.image_in),
+            ])  # (2, H, W, C)
+        else:
+            if self.running_metatest and self.meta_transform is not None:
+                img = self.meta_transform(img, rng)
+            elif self.input_transform is not None:
+                img = self.input_transform(img, rng)
+            img01 = xt.to_float01(img)
+            imgn = xt.normalize(img01, image_in=self.image_in)
         m = np.asarray(mask, np.int32)
         if self.jointwtborder:
             # border-relaxed multi-hot main target; aux stays integer

@@ -176,6 +176,35 @@ def _collate(samples):
     return {"image": imgs, "gts": masks, "names": names}
 
 
+def arm_meta_augmentation(train_dataset, mldg: bool, meta_aug_episode: bool):
+    """Enable the MLDG meta-test hard augmentation on the train datasets.
+
+    Reference semantics (the default): ``meta_transform(justidx=False)``
+    (train.py:199-211) runs before the first MLDG batch and sets
+    ``datasets[0].running_metatest = True`` -- only domain 0, permanently,
+    regardless of which domains land in the meta-test split
+    (``if i in meteidx: ...datasets[0].running_metatest = True``).  Domain 0
+    therefore trains entirely under ColorJitter(.8,.8,.8,.3)+GaussianBlur
+    (cityscapes.py:290-295) while the other domains keep the normal
+    photometric transform.  Memory prototype initialization happens *before*
+    the first meta_transform call (train.py:121), so callers must arm this
+    only after memory init.
+
+    ``meta_aug_episode`` is the opt-in "intended" variant: every domain emits
+    a (normal, hard) photometric pair and the trainer hard-augments exactly
+    the episode's meta-test domains (see select_meta_images in train/loops).
+    """
+    datasets = getattr(train_dataset, "datasets", None)
+    if not mldg or not datasets or len(datasets) < 2:
+        return
+    if meta_aug_episode:
+        for ds in datasets:
+            if getattr(ds, "meta_transform", None) is not None:
+                ds.emit_meta_pair = True
+    elif getattr(datasets[0], "meta_transform", None) is not None:
+        datasets[0].running_metatest = True
+
+
 def _expand_root(cfg: Config) -> str:
     return os.path.expanduser(cfg.data.dataset_root)
 

@@ -93,7 +93,7 @@ def main(argv=None):
     if args.snapshot:
         if args.snapshot.endswith(".pth"):
             variables, loaded_m, report = load_torch_snapshot(
-                args.snapshot, variables, three_stem="R101" in args.arch)
+                args.snapshot, variables, three_stem=False)
             if loaded_m is not None:
                 m_items = jnp.asarray(loaded_m)
             print(f"restored {args.snapshot}: {report}")

@@ -5,8 +5,11 @@ Reference: network/Resnet.py.  Key reference semantics preserved:
 - whitening code per position (``wt_layer[7]``): 0-2 are stem convs, 3-6 are
   the *last block* of layer1-4 (Resnet.py:334-350, 450-465);
 - taps are taken after the residual add, before the ReLU (Resnet.py:125-132);
-- resnet-101 uses the 3-conv ``ResNet3X3`` stem (Resnet.py:219-320), the
-  others a single 7x7 stem (Resnet.py:395-495);
+- ALL live trunks use the single 7x7 stem (Resnet.py:395-495): the 3-conv
+  ``ResNet3X3`` (Resnet.py:219-320) is dead code -- resnet101() builds plain
+  ``ResNet`` (Resnet.py:528-559, the 3X3 line is commented out) and both
+  heads wrap layer0 as (conv1, bn1, relu, maxpool) (deepv2.py:95-97,
+  deepv3plus.py:319-325).  ``resnet101_3x3`` keeps the dead variant working;
 - DeepLab dilation surgery (deepv3plus.py:347-382) mutates each stage's 3x3
   convs post-hoc; here the same geometry is expressed declaratively via a
   per-stage ``(stride, dilation)`` plan -- equivalent for the Bottleneck
@@ -244,6 +247,15 @@ def resnet50(wt_layer=(0,) * 7, variant="D16", dtype=jnp.float32):
 
 
 def resnet101(wt_layer=(0,) * 7, variant="D16", dtype=jnp.float32):
+    # plain 7x7 stem: the reference's resnet101() builds ResNet, not
+    # ResNet3X3 (Resnet.py:552-556; the 3X3 constructor line is commented
+    # out), so released R101 checkpoints are torchvision-format
+    return ResNetBackbone(Bottleneck, (3, 4, 23, 3), wt_layer, variant, False, dtype=dtype)
+
+
+def resnet101_3x3(wt_layer=(0,) * 7, variant="D16", dtype=jnp.float32):
+    """The reference's dead ``ResNet3X3`` stem variant (Resnet.py:219-320),
+    kept working for completeness."""
     return ResNetBackbone(Bottleneck, (3, 4, 23, 3), wt_layer, variant, True, dtype=dtype)
 
 

@@ -88,7 +88,7 @@ def main(argv=None):
         jnp.zeros((1, *hw), jnp.int32), m_items, rng=jax.random.PRNGKey(2))
     if args.snapshot:
         variables, loaded_m, _ = load_torch_snapshot(
-            args.snapshot, variables, three_stem="R101" in args.arch)
+            args.snapshot, variables, three_stem=False)
         if loaded_m is not None:
             m_items = jnp.asarray(loaded_m)
 

@@ -192,6 +192,55 @@ def load_reference_checkpoint(path: str, three_stem: bool = False):
     return convert_state_dict(state_dict, three_stem=three_stem, memory=memory)
 
 
+def convert_torchvision_trunk(
+    state_dict: Mapping[str, Any],
+    three_stem: bool = False,
+) -> tuple[dict, dict, ConversionReport]:
+    """Convert a torchvision-format ResNet ImageNet state_dict to backbone
+    params/stats (trunk only).
+
+    Reference: every training recipe starts from ImageNet weights via
+    ``model_zoo.load_url`` + ``forgiving_state_restore``
+    (Resnet.py:499-559); the classifier ``fc`` head and
+    ``num_batches_tracked`` counters are dropped, and whitening-replaced
+    norms simply fail the name/shape match downstream (forgiving
+    semantics).  torchvision keys (``conv1.*``, ``bn1.*``, ``layerL.j.*``)
+    are rewritten to the reference's wrapped-``layer0`` layout and fed
+    through :func:`convert_state_dict`.
+    """
+    remapped: dict[str, Any] = {}
+    skipped: list[str] = []
+    for k, v in state_dict.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        if k.startswith("fc.") or k.endswith("num_batches_tracked"):
+            skipped.append(k)
+        elif k.startswith("conv1."):
+            remapped["layer0.0." + k[len("conv1."):]] = v
+        elif k.startswith("bn1."):
+            remapped["layer0.1." + k[len("bn1."):]] = v
+        elif re.match(r"layer[1-4]\.", k):
+            remapped[k] = v
+        else:
+            skipped.append(k)
+    params, stats, _, report = convert_state_dict(remapped, three_stem=three_stem)
+    report.skipped.extend(skipped)
+    return params, stats, report
+
+
+def load_imagenet_trunk(path: str, variables: dict) -> tuple[dict, ConversionReport]:
+    """Load a torchvision ResNet ImageNet ``.pth`` into the backbone of
+    ``variables`` with forgiving-restore semantics (Resnet.py:499-559)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    state_dict = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    state_dict = {k: v.numpy() for k, v in state_dict.items() if hasattr(v, "numpy")}
+    params, stats, report = convert_torchvision_trunk(state_dict)
+    merged = merge_into_variables(variables, params, stats)
+    return merged, report
+
+
 def merge_into_variables(variables: dict, params: dict, stats: dict) -> dict:
     """Forgiving merge (optimizer.py:73-89): copy where name+shape match."""
     import jax
@@ -239,7 +288,7 @@ def main(argv=None):
 
     mc = ModelConfig(arch=args.arch, memory=MemoryConfig(enabled=args.memory))
     model = build_model(mc)
-    three_stem = "101" in args.arch
+    three_stem = False  # live reference trunks all use the 7x7 stem
     x = jnp.zeros((1, 64, 64, 3), jnp.float32)
     kw = {}
     if args.memory:

@@ -92,6 +92,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "per source domain per iteration (train.py:729-845)")
     p.add_argument("--inner_lr", type=float, default=0.001)
     p.add_argument("--inner_lr_anneal", action="store_true")
+    p.add_argument("--meta_aug_episode", action="store_true",
+                   help="hard-augment exactly the episode's meta-test domains "
+                        "instead of the reference's domain-0-permanently quirk "
+                        "(train.py:199-211); see PARITY.md")
     p.add_argument("--no_aux_loss", action="store_true")
     p.add_argument("--mem_readloss", type=float, default=0.02)
     p.add_argument("--mem_divloss", type=float, default=0.4)
@@ -107,6 +111,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ckpt", type=str, default="./logs/ckpt")
     p.add_argument("--tb_path", type=str, default="./logs/tb")
     p.add_argument("--snapshot", type=str, default=None)
+    p.add_argument("--pretrained", type=str, default=None,
+                   help="torchvision-format ImageNet trunk .pth for backbone "
+                        "init (reference: Resnet.py:499-559)")
     p.add_argument("--restore_optimizer", action="store_true")
     p.add_argument("--test_mode", action="store_true")
     p.add_argument("--model_dtype", type=str, default="float32",
@@ -174,7 +181,9 @@ def config_from_args(args: argparse.Namespace) -> Config:
             bs_mult=args.bs_mult, bs_mult_val=args.bs_mult_val,
             crop_size=args.crop_size, mldg=args.mldg,
             per_domain=args.per_domain, inner_lr=args.inner_lr,
-            inner_lr_anneal=args.inner_lr_anneal, no_aux_loss=args.no_aux_loss,
+            inner_lr_anneal=args.inner_lr_anneal,
+            meta_aug_episode=args.meta_aug_episode,
+            no_aux_loss=args.no_aux_loss,
             mem_readloss=args.mem_readloss, mem_divloss=args.mem_divloss,
             mem_clsloss=args.mem_clsloss, img_wt_loss=args.img_wt_loss,
             cls_wt_loss=args.cls_wt_loss, jointwtborder=args.jointwtborder,
@@ -194,6 +203,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         ),
         exp=args.exp, date=args.date, ckpt=args.ckpt, tb_path=args.tb_path,
         snapshot=args.snapshot, restore_optimizer=args.restore_optimizer,
+        pretrained=args.pretrained,
     )
 
 
@@ -255,11 +265,20 @@ class Trainer:
             jnp.zeros((1, *hw), jnp.int32), m_items, rng=kr,
         )
 
+        if cfg.pretrained and not cfg.snapshot:
+            # ImageNet trunk init (Resnet.py:499-559): torchvision-format
+            # state_dict onto the backbone, forgiving semantics
+            from pinthememory_tpu.tools.convert_torch import load_imagenet_trunk
+
+            variables, report = load_imagenet_trunk(cfg.pretrained, variables)
+            self.log.info(f"ImageNet trunk init from {cfg.pretrained}: {report}")
+
         resume_native = cfg.snapshot and not cfg.snapshot.endswith(".pth")
         if cfg.snapshot and not resume_native:
-            three_stem = "R101" in cfg.model.arch
+            # all live reference trunks (incl. resnet-101) use the single
+            # 7x7 stem -- ResNet3X3 is dead code (Resnet.py:552-556)
             variables, loaded_m, report = load_torch_snapshot(
-                cfg.snapshot, variables, three_stem)
+                cfg.snapshot, variables, three_stem=False)
             if loaded_m is not None:
                 m_items = jnp.asarray(loaded_m)
             self.log.info(f"restored torch snapshot {cfg.snapshot}: {report}")
@@ -423,7 +442,7 @@ class Trainer:
 
     def do_epoch(self) -> bool:
         """One epoch; returns False when max_iter is reached."""
-        from pinthememory_tpu.train.loops import meta_split
+        from pinthememory_tpu.train.loops import meta_split, select_meta_images
 
         cfg = self.cfg
         t_ep = time.time()
@@ -449,12 +468,18 @@ class Trainer:
             self.rng, sub = jax.random.split(self.rng)
             if self.dump_aug and self.epoch == 0 and i == 0:
                 self._dump_augmentation(batch)
-            jbatch = {k: jnp.asarray(v) for k, v in batch.items() if k != "names"}
+            np_batch = {k: v for k, v in batch.items() if k != "names"}
+            mldg_now = cfg.train.mldg and self.num_domains > 1
+            if mldg_now:
+                tr, te = meta_split(self.np_rng, self.num_domains)
+                # meta_aug_episode: pick the hard-augmented photometric
+                # version for the episode's meta-test domains
+                np_batch["image"] = select_meta_images(np_batch["image"], te)
+            jbatch = {k: jnp.asarray(v) for k, v in np_batch.items()}
             if jbatch["image"].ndim == 4:  # single domain -> add D axis
                 jbatch = {k: v[:, None] for k, v in jbatch.items()}
 
-            if cfg.train.mldg and self.num_domains > 1:
-                tr, te = meta_split(self.np_rng, self.num_domains)
+            if mldg_now:
                 self.state, metrics = self.step_mldg(
                     self.state, jbatch, sub, tr, te, jnp.float32(self.inner_lr),
                     wt_masks, apply_wt)
@@ -504,6 +529,8 @@ class Trainer:
         os.makedirs(out, exist_ok=True)
         imgs = np.asarray(batch["image"])
         gts = np.asarray(batch["gts"])
+        if imgs.ndim == 6:  # meta-pair batches: dump the normal version
+            imgs = imgs[:, :, 0]
         if imgs.ndim == 4:
             imgs, gts = imgs[:, None], gts[:, None]
         mean, std = np.asarray(IMAGENET_MEAN), np.asarray(IMAGENET_STD)
@@ -545,9 +572,16 @@ class Trainer:
         return results
 
     def run(self):
+        from pinthememory_tpu.data.loader import arm_meta_augmentation
+
         cfg = self.cfg
         if cfg.model.memory.enabled and cfg.snapshot is None:
             self.memory_initialize()
+        # meta-test hard augmentation arms only after memory init, matching
+        # the reference call order (memory_initalize at train.py:121 precedes
+        # the first meta_transform() at train.py:501)
+        arm_meta_augmentation(self.train_loader.dataset, cfg.train.mldg,
+                              cfg.train.meta_aug_episode)
         while True:
             # ISW: gather covariance statistics at the trigger epoch
             # (train.py:169-175)

@@ -354,6 +354,24 @@ def meta_split(rng, num_domains: int) -> tuple[tuple[int, ...], tuple[int, ...]]
     return tuple(int(x) for x in perm[:i]), tuple(int(x) for x in perm[i:])
 
 
+def select_meta_images(image, te: tuple[int, ...]):
+    """Resolve a (B, D, 2, H, W, C) meta-pair batch (emit_meta_pair mode)
+    to (B, D, H, W, C): hard-augmented version (index 1) for the episode's
+    meta-test domains ``te``, normal version (index 0) elsewhere.
+
+    Host-side numpy: runs before device transfer, so only the selected
+    images cross PCIe/ICI.
+    """
+    import numpy as np
+
+    if image.ndim != 6:
+        return image
+    d = image.shape[1]
+    sel = np.zeros(d, np.int64)
+    sel[list(te)] = 1
+    return image[:, np.arange(d), sel]
+
+
 def make_train_step_per_domain(model, cfg: Config, tx_unscaled) -> Callable:
     """Per-domain episode (reference ``train_robustnetver``, train.py:729-845).
 

@@ -1,7 +1,9 @@
 #!/usr/bin/env bash
 # single-source GTAV pinmem (reference: train_GG_pinmem_DR50V3P.sh)
 cd "$(dirname "$0")/.."
+# set PRETRAINED=/path/to/torchvision-resnet.pth for ImageNet trunk init
 python -m pinthememory_tpu.train.cli \
+  ${PRETRAINED:+--pretrained "$PRETRAINED"} \
   --dataset gtav --val_dataset cityscapes bdd100k mapillary \
   --exp pinmem --arch DeepR50V3PlusD \
   --lr 0.01 --memory --bs_mult 4 --gblur --color_aug 0.5 \

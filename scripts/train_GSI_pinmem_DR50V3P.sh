@@ -1,7 +1,9 @@
 #!/usr/bin/env bash
 # 3-source pinmem (reference: train_GSI_pinmem_DR50V3P.sh)
 cd "$(dirname "$0")/.."
+# set PRETRAINED=/path/to/torchvision-resnet.pth for ImageNet trunk init
 python -m pinthememory_tpu.train.cli \
+  ${PRETRAINED:+--pretrained "$PRETRAINED"} \
   --dataset gtav synthia idd \
   --val_dataset cityscapes bdd100k mapillary \
   --exp pinmem --arch DeepR50V3PlusD \

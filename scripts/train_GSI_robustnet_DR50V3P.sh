@@ -1,7 +1,9 @@
 #!/usr/bin/env bash
 # RobustNet ISW variant (reference: train_GSI_robustnet_DR50V3P.sh)
 cd "$(dirname "$0")/.."
+# set PRETRAINED=/path/to/torchvision-resnet.pth for ImageNet trunk init
 python -m pinthememory_tpu.train.cli \
+  ${PRETRAINED:+--pretrained "$PRETRAINED"} \
   --dataset gtav synthia idd \
   --covstat_val_dataset gtav synthia idd \
   --val_dataset cityscapes bdd100k mapillary \

@@ -1,7 +1,9 @@
 #!/usr/bin/env bash
 # DeepLabV2 + R101 pinmem (reference: train_GS_pinmem_DR101V2.sh)
 cd "$(dirname "$0")/.."
+# set PRETRAINED=/path/to/torchvision-resnet.pth for ImageNet trunk init
 python -m pinthememory_tpu.train.cli \
+  ${PRETRAINED:+--pretrained "$PRETRAINED"} \
   --dataset gtav synthia --val_dataset cityscapes bdd100k mapillary \
   --exp pinmem --arch DeepR101V2D \
   --lr 0.01 --mldg --memory --bs_mult 4 --gblur --color_aug 0.5 \

@@ -1,7 +1,9 @@
 #!/usr/bin/env bash
 # flagship pinmem recipe (reference: pinmem_train_scripts/train_GS_pinmem_DR50V3P.sh)
 cd "$(dirname "$0")/.."
+# set PRETRAINED=/path/to/torchvision-resnet.pth for ImageNet trunk init
 python -m pinthememory_tpu.train.cli \
+  ${PRETRAINED:+--pretrained "$PRETRAINED"} \
   --dataset gtav synthia \
   --val_dataset cityscapes bdd100k mapillary \
   --exp pinmem \

@@ -120,3 +120,85 @@ def test_class_centroids_and_build_epoch():
     epoch = build_epoch(items, centroids, 19, 0.5, np.random.default_rng(0))
     assert len(epoch) >= 50
     assert any(len(e) == 4 for e in epoch)
+
+
+# -- meta-test hard augmentation wiring (train.py:199-211) -------------------
+
+from pinthememory_tpu.data.base import SegmentationDataset
+from pinthememory_tpu.data.loader import arm_meta_augmentation
+from pinthememory_tpu.train.loops import select_meta_images
+
+
+class _TinyDisk(SegmentationDataset):
+    """Minimal on-disk dataset flowing through the shared __getitem__."""
+
+    def __init__(self, root, n=3, seed=0, **kw):
+        super().__init__(seed=seed, **kw)
+        rng = np.random.default_rng(seed)
+        for i in range(n):
+            ip = f"{root}/img{i}.png"
+            mp = f"{root}/mask{i}.png"
+            Image.fromarray(
+                rng.integers(0, 255, (40, 40, 3)).astype(np.uint8)).save(ip)
+            Image.fromarray(
+                rng.integers(0, 19, (40, 40)).astype(np.uint8), "L").save(mp)
+            self.imgs.append((ip, mp))
+
+    def decode_mask(self, p):
+        return np.asarray(Image.open(p), np.uint8)
+
+
+def _tiny_pair(tmp_path):
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    a.mkdir()
+    b.mkdir()
+    meta = xt.build_meta_transform()
+    d0 = _TinyDisk(str(a), seed=0, meta_transform=meta)
+    d1 = _TinyDisk(str(b), seed=1, meta_transform=meta)
+    return d0, d1
+
+
+def test_meta_aug_default_reference_quirk(tmp_path):
+    """Default MLDG wiring reproduces train.py:199-211: domain 0 permanently
+    hard-augmented, other domains untouched."""
+    d0, d1 = _tiny_pair(tmp_path)
+    before = d0[0][0]
+    ds = DomainUniformConcatDataset([d0, d1], seed=0)
+    arm_meta_augmentation(ds, mldg=True, meta_aug_episode=False)
+    assert d0.running_metatest and not d1.running_metatest
+    after = d0[0][0]
+    assert after.shape == before.shape
+    assert not np.array_equal(after, before)  # photometrically hard-augmented
+    # masks unaffected
+    np.testing.assert_array_equal(d0[0][1], np.asarray(
+        Image.open(d0.imgs[0][1]), np.uint8).astype(np.int32))
+
+
+def test_meta_aug_armed_only_under_mldg_multidomain(tmp_path):
+    d0, d1 = _tiny_pair(tmp_path)
+    ds = DomainUniformConcatDataset([d0, d1], seed=0)
+    arm_meta_augmentation(ds, mldg=False, meta_aug_episode=False)
+    assert not d0.running_metatest
+    arm_meta_augmentation(d0, mldg=True, meta_aug_episode=False)  # single set
+    assert not d0.running_metatest
+
+
+def test_meta_aug_episode_pairs_and_selection(tmp_path):
+    d0, d1 = _tiny_pair(tmp_path)
+    ds = DomainUniformConcatDataset([d0, d1], seed=0)
+    arm_meta_augmentation(ds, mldg=True, meta_aug_episode=True)
+    assert d0.emit_meta_pair and d1.emit_meta_pair
+    img, mask, _, _ = d0[0]
+    assert img.shape == (2, 40, 40, 3)
+    assert not np.array_equal(img[0], img[1])  # hard differs from normal
+
+    loader = DataLoader(ds, batch_size=2, num_workers=1)
+    batch = next(iter(loader))
+    assert batch["image"].shape == (2, 2, 2, 40, 40, 3)
+    sel = select_meta_images(batch["image"], te=(1,))
+    assert sel.shape == (2, 2, 40, 40, 3)
+    np.testing.assert_array_equal(sel[:, 0], batch["image"][:, 0, 0])
+    np.testing.assert_array_equal(sel[:, 1], batch["image"][:, 1, 1])
+    # non-pair batches pass through unchanged
+    np.testing.assert_array_equal(select_meta_images(sel, te=(0,)), sel)
