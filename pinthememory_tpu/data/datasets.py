@@ -142,6 +142,14 @@ class Synthia(SegmentationDataset):
         # tools/make_splits.py); fall back to a flat RGB/ layout
         split = "train" if mode == "train" else "val"
         if os.path.isdir(os.path.join(img_root, split)):
+            # only switch when BOTH sides are materialized; a missing
+            # GT/LABELS/{split} must fail loudly, not yield an empty dataset
+            if not os.path.isdir(os.path.join(mask_root, split)):
+                raise FileNotFoundError(
+                    f"Synthia: {img_root}/{split} exists but "
+                    f"{mask_root}/{split} does not; run tools/make_splits.py "
+                    "to materialize both sides of the split"
+                )
             img_root = os.path.join(img_root, split)
             mask_root = os.path.join(mask_root, split)
         self.imgs = find_pairs(img_root, mask_root, ".png", ".png")

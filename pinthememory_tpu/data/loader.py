@@ -12,7 +12,6 @@ shards across hosts).
 from __future__ import annotations
 
 import os
-import queue
 import threading
 from typing import Iterator, Sequence
 
@@ -113,7 +112,14 @@ class ShardedSampler:
 
 
 class DataLoader:
-    """Minimal multi-threaded map-style loader with prefetch."""
+    """Multi-threaded map-style loader with ordered prefetch.
+
+    The reference runs 8 torch DataLoader worker *processes*
+    (datasets/__init__.py:328); here ``num_workers`` threads decode/augment
+    batches concurrently (PIL decode and numpy augmentation release the GIL)
+    while the consumer receives batches strictly in sampler order -- batch
+    content is index-seeded, so worker count never changes the data stream.
+    """
 
     def __init__(self, dataset, batch_size: int, sampler=None, num_workers: int = 2,
                  drop_last: bool = True, prefetch: int = 4):
@@ -128,7 +134,7 @@ class DataLoader:
         n = len(self.sampler)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def __iter__(self) -> Iterator:
+    def _batches(self) -> list[list[int]]:
         indices = list(self.sampler)
         batches = [
             indices[i : i + self.batch_size]
@@ -136,34 +142,66 @@ class DataLoader:
         ]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
+        return batches
 
+    def __iter__(self) -> Iterator:
+        batches = self._batches()
         if self.num_workers <= 1:
             for b in batches:
                 yield _collate([self.dataset[i] for i in b])
             return
+        yield from self._iter_parallel(batches)
 
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+    def _iter_parallel(self, batches: list[list[int]]) -> Iterator:
+        cond = threading.Condition()
+        results: dict = {}          # batch index -> collated batch
+        errors: list = []
         stop = threading.Event()
+        next_to_load = [0]
+        # bounds (in-flight + done-but-unconsumed) batches
+        budget = threading.Semaphore(max(self.prefetch, self.num_workers))
 
         def worker():
-            try:
-                for b in batches:
-                    if stop.is_set():
-                        return
-                    q.put(_collate([self.dataset[i] for i in b]))
-            finally:
-                q.put(None)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        try:
-            while True:
-                item = q.get()
-                if item is None:
+            while not stop.is_set():
+                budget.acquire()
+                if stop.is_set():
                     return
+                with cond:
+                    i = next_to_load[0]
+                    if i >= len(batches):
+                        return
+                    next_to_load[0] += 1
+                try:
+                    item = _collate([self.dataset[j] for j in batches[i]])
+                except BaseException as e:  # surface worker failures
+                    with cond:
+                        errors.append(e)
+                        cond.notify_all()
+                    return
+                with cond:
+                    results[i] = item
+                    cond.notify_all()
+
+        threads = [
+            threading.Thread(target=worker, daemon=True)
+            for _ in range(min(self.num_workers, len(batches)))
+        ]
+        for t in threads:
+            t.start()
+        try:
+            for i in range(len(batches)):
+                with cond:
+                    while i not in results and not errors:
+                        cond.wait(timeout=0.5)
+                    if errors:
+                        raise errors[0]
+                    item = results.pop(i)
+                budget.release()
                 yield item
         finally:
             stop.set()
+            for _ in threads:  # unblock any worker parked on the budget
+                budget.release()
 
 
 def _collate(samples):

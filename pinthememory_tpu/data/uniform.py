@@ -44,32 +44,46 @@ def build_centroids(
     num_classes: int = 19,
     tile_size: int = 1024,
     cache_path: str | None = None,
+    num_workers: int | None = None,
 ) -> dict[int, list]:
     """centroids[class] = [(img_path, mask_path, (x, y), class), ...].
 
     Cached as JSON keyed by mask path (uniform.py / cityscapes.py:367-380).
+    Uncached masks are decoded by a thread pool (the reference uses
+    multiprocessing.dummy Pool(80), uniform.py:184-210); results are merged
+    in item order, so worker count never changes the output.
     """
     cache: dict = {}
     if cache_path and os.path.exists(cache_path):
         with open(cache_path) as f:
             cache = json.load(f)
 
-    centroids: dict[int, list] = {c: [] for c in range(num_classes)}
-    dirty = False
-    for img_path, mask_path in items:
-        key = mask_path
-        if key in cache:
-            per_class = {int(c): v for c, v in cache[key].items()}
-        else:
+    todo = [(i, mp) for i, (_, mp) in enumerate(items) if mp not in cache]
+    if todo:
+        def one(mask_path):
             mask = decode_mask(mask_path)
-            per_class = class_centroids_image(np.asarray(mask), tile_size, num_classes)
-            cache[key] = {str(c): v for c, v in per_class.items()}
-            dirty = True
+            return class_centroids_image(np.asarray(mask), tile_size, num_classes)
+
+        if num_workers is None:
+            num_workers = min(32, (os.cpu_count() or 8) * 2)
+        if num_workers > 1 and len(todo) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=num_workers) as pool:
+                computed = list(pool.map(one, [mp for _, mp in todo]))
+        else:
+            computed = [one(mp) for _, mp in todo]
+        for (_, mp), per_class in zip(todo, computed):
+            cache[mp] = {str(c): v for c, v in per_class.items()}
+
+    centroids: dict[int, list] = {c: [] for c in range(num_classes)}
+    for img_path, mask_path in items:
+        per_class = {int(c): v for c, v in cache[mask_path].items()}
         for c, pts in per_class.items():
             for (cx, cy) in pts:
                 centroids[c].append((img_path, mask_path, (cx, cy), c))
 
-    if cache_path and dirty:
+    if cache_path and todo:
         os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
         with open(cache_path, "w") as f:
             json.dump(cache, f)

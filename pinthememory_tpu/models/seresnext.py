@@ -14,7 +14,8 @@ Reference semantics preserved:
   C -> sigmoid channel gate, reduction 16, applied to the block output
   *before* the residual add (SEresnext.py:115-118);
 - se_resnext stem: single 7x7/2 conv (``input_3x3=False``,
-  SEresnext.py:383-391) + 3x3/2 ceil-mode max-pool (SEresnext.py:254-259);
+  SEresnext.py:383-391) + 3x3/2 ceil-mode pad-0 max-pool
+  (SEresnext.py:271-272, ``ops.pool.max_pool_3x3_s2_ceil``);
 - layer plans (3,4,6,3) / (3,4,23,3) (SEresnext.py:383-405).
 
 TPU-native deltas: the SE gate's two 1x1 convs become Dense layers on the
@@ -33,7 +34,7 @@ import jax.numpy as jnp
 
 from pinthememory_tpu.models.layers import apply_iw_hook, batch_norm, conv2d
 from pinthememory_tpu.models.resnet import _VARIANT_PLANS
-from pinthememory_tpu.ops.pool import max_pool_3x3_s2
+from pinthememory_tpu.ops.pool import max_pool_3x3_s2_ceil
 
 
 class SEModule(nn.Module):
@@ -122,7 +123,7 @@ class SEResNeXtBackbone(nn.Module):
         else:
             x = batch_norm(self.dtype, name="bn1")(x, use_running_average=not train)
         x = nn.relu(x)
-        x = max_pool_3x3_s2(x)
+        x = max_pool_3x3_s2_ceil(x)
         stem = x
 
         plans = _VARIANT_PLANS.get(self.variant, _VARIANT_PLANS["D32"])

@@ -150,6 +150,14 @@ def config_from_args(args: argparse.Namespace) -> Config:
         else:
             args.max_epoch = 150
 
+    if args.mldg and args.per_domain:
+        # --mldg takes dispatch priority but step_mldg is built for the
+        # scaled-SGD opt state while --per_domain re-initializes it to the
+        # unscaled format; combining them would crash at the first step with
+        # an opt-state pytree mismatch.  (The reference cannot combine them
+        # either: do_epoch dispatches to exactly one episode, train.py:138-197.)
+        raise SystemExit("--mldg and --per_domain are mutually exclusive")
+
     return Config(
         model=ModelConfig(
             arch=args.arch,

@@ -397,7 +397,7 @@ def make_train_step_per_domain(model, cfg: Config, tx_unscaled) -> Callable:
         num_domains = batch["image"].shape[1]
         lr = lr_fn(state.step)
         params, stats, opt = state.params, state.batch_stats, state.opt_state
-        metrics = None
+        acc = None
 
         for di in range(num_domains):  # static unroll, one step per domain
             dom = _select_domains(batch, (di,))
@@ -425,12 +425,20 @@ def make_train_step_per_domain(model, cfg: Config, tx_unscaled) -> Callable:
                     total = total + wt_w * wt * (1.0 if apply_wtloss else 0.0)
                 return total, (bundle, mutated["batch_stats"])
 
-            (_, (bundle, stats)), grads = jax.value_and_grad(
+            (total, (bundle, stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
             updates, opt = tx_unscaled.update(grads, opt, params)
             params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
-            metrics = bundle._asdict()
+            # log the running average across domain steps of the loss that
+            # was actually optimized (the reference's train_total_loss meter,
+            # train.py:786-806) -- bundle.total would include memory terms
+            # that are not in this episode's gradient
+            dom_metrics = bundle._asdict()
+            dom_metrics["total"] = total
+            acc = dom_metrics if acc is None else jax.tree.map(
+                lambda a, b: a + b, acc, dom_metrics)
 
+        metrics = jax.tree.map(lambda v: v / num_domains, acc)
         new_state = TrainState(
             params=params,
             batch_stats=stats,

@@ -202,3 +202,107 @@ def test_meta_aug_episode_pairs_and_selection(tmp_path):
     np.testing.assert_array_equal(sel[:, 1], batch["image"][:, 1, 1])
     # non-pair batches pass through unchanged
     np.testing.assert_array_equal(select_meta_images(sel, te=(0,)), sel)
+
+
+# ---------------------------------------------------------------------------
+# Multi-worker loader (VERDICT r1 item 6): num_workers must actually scale
+# throughput while preserving the exact batch stream.
+# ---------------------------------------------------------------------------
+
+
+class _SlowDataset:
+    """Synthetic dataset whose __getitem__ blocks (like PIL decode: the wait
+    releases the GIL) for a fixed time."""
+
+    def __init__(self, n=64, delay=0.005):
+        self.n = n
+        self.delay = delay
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        import time
+
+        time.sleep(self.delay)
+        rng = np.random.default_rng(i)
+        return (rng.standard_normal((4, 4, 3)).astype(np.float32),
+                np.full((4, 4), i % 19, np.uint8), f"s{i}",
+                np.full((4, 4), i % 19, np.uint8))
+
+
+def _collect(loader):
+    return [(b["image"].copy(), b["gts"].copy(), list(b["names"])) for b in loader]
+
+
+def test_loader_workers_preserve_batch_order():
+    ds = _SlowDataset(n=40, delay=0.0)
+    from pinthememory_tpu.data.loader import ShardedSampler
+
+    def make(nw):
+        return DataLoader(ds, batch_size=4,
+                          sampler=ShardedSampler(ds, shuffle=True, seed=3),
+                          num_workers=nw)
+
+    ref = _collect(make(1))
+    for nw in (2, 4, 7):
+        got = _collect(make(nw))
+        assert len(got) == len(ref)
+        for (ia, ga, na), (ib, gb, nb) in zip(got, ref):
+            np.testing.assert_array_equal(ia, ib)
+            np.testing.assert_array_equal(ga, gb)
+            assert na == nb
+
+
+def test_loader_workers_scale_throughput():
+    import time
+
+    ds = _SlowDataset(n=64, delay=0.005)
+
+    def timed(nw):
+        loader = DataLoader(ds, batch_size=4, num_workers=nw)
+        t0 = time.perf_counter()
+        n = sum(1 for _ in loader)
+        assert n == 16
+        return time.perf_counter() - t0
+
+    t1 = min(timed(1) for _ in range(2))
+    t4 = min(timed(4) for _ in range(2))
+    assert t4 * 2.0 < t1, f"1 worker {t1:.3f}s vs 4 workers {t4:.3f}s"
+
+
+def test_loader_worker_errors_propagate():
+    class Boom(_SlowDataset):
+        def __getitem__(self, i):
+            if i == 11:
+                raise RuntimeError("decode failed")
+            return super().__getitem__(i)
+
+    loader = DataLoader(Boom(n=16, delay=0.0), batch_size=4, num_workers=3)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(loader)
+
+
+def test_build_centroids_parallel_matches_serial(tmp_path):
+    from pinthememory_tpu.data.uniform import build_centroids
+
+    rng = np.random.default_rng(0)
+    masks = {}
+    for i in range(6):
+        p = str(tmp_path / f"m{i}.png")
+        masks[p] = rng.integers(0, 20, (32, 32)).astype(np.uint8)
+
+    items = [(p.replace(".png", "_img.png"), p) for p in masks]
+    decode = lambda p: masks[p]
+    serial = build_centroids(items, decode, tile_size=16, num_workers=1)
+    parallel = build_centroids(items, decode, tile_size=16, num_workers=4)
+    assert serial == parallel
+    # cache round-trip stays equivalent (JSON lists vs tuples)
+    cp = str(tmp_path / "cache.json")
+    first = build_centroids(items, decode, tile_size=16, cache_path=cp,
+                            num_workers=4)
+    cached = build_centroids(items, decode, tile_size=16, cache_path=cp,
+                             num_workers=4)
+    assert first == cached == serial

@@ -12,6 +12,7 @@ import torch.nn.functional as F
 
 from pinthememory_tpu.ops import (
     max_pool_3x3_s2,
+    max_pool_3x3_s2_ceil,
     resize_bilinear_align_corners,
     resize_nearest,
 )
@@ -53,6 +54,19 @@ def test_label_nearest_resize():
     lt = torch.from_numpy(labels).unsqueeze(1).float()
     ref = F.interpolate(lt, size=(4, 4), mode="nearest").squeeze(1).long().numpy()
     np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+@pytest.mark.parametrize("hw", [(8, 8), (9, 9), (112, 112), (113, 57), (56, 55)])
+def test_maxpool_ceil_matches_torch(hw):
+    """SE-ResNeXt stem pool: 3x3/2 pad-0 ceil-mode (SEresnext.py:271-272)."""
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, *hw, 4), dtype=np.float32)
+    ours = max_pool_3x3_s2_ceil(jnp.asarray(x))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    ref = F.max_pool2d(xt, kernel_size=3, stride=2, padding=0, ceil_mode=True)
+    ref = ref.permute(0, 2, 3, 1).numpy()
+    assert np.asarray(ours).shape == ref.shape
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=0, atol=0)
 
 
 @pytest.mark.parametrize("hw", [(8, 8), (383, 129), (100, 100)])

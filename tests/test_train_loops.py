@@ -139,3 +139,33 @@ def test_per_domain_step_semantics(setup):
     assert float(jnp.abs(
         s_d0.params["final2_conv"]["bias"] - s2.params["final2_conv"]["bias"]
     ).max()) > 0
+
+
+def test_mldg_per_domain_flags_rejected():
+    """--mldg and --per_domain crash with an opt-state mismatch if combined;
+    the CLI must reject the pair up front (ADVICE r1)."""
+    from pinthememory_tpu.train.cli import build_parser, config_from_args
+
+    args = build_parser().parse_args(
+        ["--dataset", "null_loader", "--mldg", "--per_domain"])
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        config_from_args(args)
+
+
+def test_per_domain_metrics_average_optimized_total(setup):
+    """The logged total must be the optimized loss (main + aux_w*aux), not
+    bundle.total with memory terms that are absent from this episode's
+    gradient (ADVICE r1)."""
+    from pinthememory_tpu.train.loops import make_train_step_per_domain
+    from pinthememory_tpu.train.optim import make_optimizer_unscaled
+
+    cfg, model, state, _, batch = setup
+    tx_pd = make_optimizer_unscaled(cfg.optim)
+    state_pd = state.replace(opt_state=tx_pd.init(state.params))
+    step = make_train_step_per_domain(model, cfg, tx_pd)
+    _, metrics = step(state_pd, batch, jax.random.PRNGKey(3))
+    # memory read/div/cls are reported but must not be in 'total'
+    assert np.isfinite(float(metrics["total"]))
+    aux_w = 0.0 if cfg.train.no_aux_loss else cfg.train.aux_loss_weight
+    expected = float(metrics["main"]) + aux_w * float(metrics["aux"])
+    np.testing.assert_allclose(float(metrics["total"]), expected, rtol=1e-5)
