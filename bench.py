@@ -56,8 +56,88 @@ def build(dtype: str, hw_crop: int):
     return model, variables, m_items
 
 
+REF_A100_TRAIN_STEPS_PER_SEC_EST = 1.0
+# Structural estimate for the reference memory-MLDG iteration (BASELINE.md
+# row 6: 768^2 crops, bs 4, 2 domains): 2 forward+backward passes (inner on
+# meta-train, outer on meta-test through theta') + 2 extra forwards (frozen-
+# encoder write, post-step clean write) of R50-D16 DeepLabV3+ at bs 4, run in
+# eager PyTorch WITH torch.autograd.set_detect_anomaly(True) left on
+# (train.py:531) -- generously scored at 1 step/s on A100; the reference
+# publishes no number (SURVEY.md §6).
+
+
+def bench_train(args):
+    """Flagship memory-MLDG train-step throughput (VERDICT r1 item 8)."""
+    from pinthememory_tpu.core.config import (
+        Config, MemoryConfig, ModelConfig, OptimConfig, TrainConfig,
+    )
+    from pinthememory_tpu.models import build_model
+    from pinthememory_tpu.models.memory import init_memory
+    from pinthememory_tpu.train.loops import make_train_step_mldg
+    from pinthememory_tpu.train.state import create_train_state
+
+    hw, bs, n_dom = args.crop, args.bs_mult, 2
+    cfg = Config(
+        model=ModelConfig(arch="DeepR50V3PlusD",
+                          memory=MemoryConfig(enabled=True), dtype=args.dtype),
+        train=TrainConfig(mldg=True, crop_size=hw, bs_mult=bs),
+        optim=OptimConfig(lr=0.01),
+    )
+    model = build_model(cfg.model)
+    m_items = init_memory(jax.random.PRNGKey(1), 19, 256)
+    init_fn = jax.jit(functools.partial(
+        model.init, train=False, with_aux=True, memory_writing=True))
+    variables = init_fn(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, hw, hw, 3)),
+        jnp.zeros((1, hw, hw), jnp.int32), m_items, rng=jax.random.PRNGKey(2))
+    state, tx = create_train_state(cfg, variables, m_items)
+    step = make_train_step_mldg(model, cfg, tx)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.standard_normal((bs, n_dom, hw, hw, 3)),
+                             jnp.float32),
+        "gts": jnp.asarray(rng.integers(0, 19, (bs, n_dom, hw, hw)), jnp.int32),
+        "aux_gts": jnp.asarray(rng.integers(0, 19, (bs, n_dom, hw, hw)),
+                               jnp.int32),
+    }
+    inner_lr = jnp.float32(cfg.train.inner_lr)
+
+    t0 = time.time()
+    state, m = step(state, batch, jax.random.PRNGKey(3), (0,), (1,), inner_lr)
+    # force with a scalar fetch: under the axon tunnel block_until_ready can
+    # return before remote execution finishes (measured 100x-off timings);
+    # the metrics scalar depends on the full step, so fetching it is an
+    # honest sync with negligible transfer cost
+    float(m["outer"]["total"])
+    print(f"# train warmup (compile) {time.time() - t0:.1f}s", file=sys.stderr)
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        for i in range(args.steps):
+            state, m = step(state, batch, jax.random.PRNGKey(4 + i),
+                            (0,), (1,), inner_lr)
+        assert np.isfinite(float(m["outer"]["total"]))  # sync on the chain
+        best = min(best, (time.time() - t0) / args.steps)
+    sps = 1.0 / best
+
+    print(json.dumps({
+        "metric": f"train_memory_mldg_{hw}_bs{bs}x{n_dom}dom_steps_per_sec",
+        "value": round(sps, 4),
+        "unit": "steps/sec",
+        "vs_baseline": round(sps / REF_A100_TRAIN_STEPS_PER_SEC_EST, 2),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--train", action="store_true",
+                    help="benchmark the flagship memory-MLDG train step "
+                         "instead of eval throughput")
+    ap.add_argument("--steps", type=int, default=5, help="timed train steps")
+    ap.add_argument("--crop", type=int, default=768)
+    ap.add_argument("--bs_mult", type=int, default=4)
     ap.add_argument("--images", type=int, default=4, help="timed images")
     ap.add_argument("--batch", type=int, default=2,
                     help="images per device batch (vmapped eval programs)")
@@ -72,6 +152,10 @@ def main():
     ap.add_argument("--profile", type=str, default=None,
                     help="write a jax.profiler trace (XPlane) to this dir")
     args = ap.parse_args()
+
+    if args.train:
+        bench_train(args)
+        return
 
     from pinthememory_tpu.evalx.sliding import SlidingEvaluator
 
@@ -135,7 +219,10 @@ def main():
             for img_i in imgs:
                 pred = ev.predict_batch_device(img_i)
                 hist = hist_update(hist, pred, fake_gt)
-            jax.block_until_ready(hist)
+            # honest sync: fetch a scalar that depends on the whole pipeline
+            # (block_until_ready alone can return early through the axon
+            # tunnel; see bench_train note)
+            assert int(jnp.sum(hist)) >= 0
             per_img = min(per_img, (time.time() - t0) / (n_batches * args.batch))
     ips = 1.0 / per_img
 

@@ -58,6 +58,9 @@ def build_parser():
     p.add_argument("--split_count", type=int, default=1,
                    help="number of parallel eval shards (eval.py:92)")
     p.add_argument("--max_images", type=int, default=0)
+    p.add_argument("--eval_batch", type=int, default=2,
+                   help="same-shape images batched through one vmapped "
+                        "program (sliding mode; bench.py's measured path)")
     p.add_argument("--model_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     return p
@@ -154,50 +157,78 @@ def main(argv=None):
 
     palette = trainid_palette()
     os.makedirs(args.results_dir, exist_ok=True)
-    hist = None
+    hist = jnp.zeros((19, 19), jnp.int32)
+    hist_update = jax.jit(lambda h, p, g: h + confusion_matrix(p, g, 19))
     times = []
+    done = [0]
     n = len(ds)
     if args.max_images:
         n = min(n, args.max_images)
     # contiguous shard [index*n/count, (index+1)*n/count) (eval.py:744-748)
     lo = (n * args.split_index) // args.split_count
     hi = (n * (args.split_index + 1)) // args.split_count
+
+    def dump(name, pred, raw, gt_np):
+        # colorized / blend / diff dumps (reference: eval.py:662-693)
+        from PIL import Image
+
+        color = palette[pred]
+        Image.fromarray(color).save(
+            os.path.join(args.results_dir, f"{name}_pred.png"))
+        blend = (0.5 * color + 0.5 * np.asarray(raw)).astype(np.uint8)
+        Image.fromarray(blend).save(
+            os.path.join(args.results_dir, f"{name}_compose.png"))
+        valid = gt_np != 255
+        diff = np.where((valid & (pred != gt_np))[..., None], color, 0).astype(np.uint8)
+        Image.fromarray(diff).save(
+            os.path.join(args.results_dir, f"{name}_diff.png"))
+
+    batched = hasattr(ev, "predict_batch_device") and not args.dump_images
+    batch_n = max(args.eval_batch, 1) if batched else 1
+
+    def flush(group, hist):
+        """Run one same-shape group; hist stays on device (no sync)."""
+        t0 = time.time()
+        if batched and len(group) > 1:
+            raws = np.stack([g[0] for g in group])
+            preds = ev.predict_batch_device(raws)
+            gts = jnp.asarray(np.stack([g[1] for g in group]))
+            hist = hist_update(hist, preds, gts)
+        else:
+            for raw, gt, name in group:
+                pred_dev = (ev.predict_device(raw)
+                            if hasattr(ev, "predict_device")
+                            else jnp.asarray(ev.predict(raw)))
+                hist = hist_update(hist, pred_dev, jnp.asarray(gt))
+                if args.dump_images:
+                    dump(name, np.asarray(pred_dev), raw, np.asarray(gt))
+        times.append((time.time() - t0) / len(group))
+        done[0] += len(group)
+        if (done[0] // 10) != ((done[0] - len(group)) // 10):
+            # progress WITHOUT a device sync (no mean_iu here): images keep
+            # pipelining through the chip back-to-back
+            print(f"[{done[0]}/{hi - lo}] {group[-1][2]}: "
+                  f"{1.0 / np.mean(times):.2f} img/s")
+        return hist
+
+    group: list = []
     for i in range(lo, hi):
         raw, gt, name = ds[i]
         if eval_joint is not None:
             raw, gt = eval_joint(raw, gt)
-        t0 = time.time()
-        # prediction and histogram update stay on device; host only syncs
-        # when dumping or printing, so images pipeline through the chip
-        pred_dev = (ev.predict_device(raw) if hasattr(ev, "predict_device")
-                    else jnp.asarray(ev.predict(raw)))
-        h = confusion_matrix(pred_dev, jnp.asarray(gt), 19)
-        hist = h if hist is None else hist + h
-        times.append(time.time() - t0)
-        pred = np.asarray(pred_dev) if args.dump_images else None
-        if args.dump_images:
-            # colorized / blend / diff dumps (reference: eval.py:662-693)
-            from PIL import Image
+        if group and (len(group) >= batch_n
+                      or group[-1][0].shape != raw.shape):
+            hist = flush(group, hist)
+            group = []
+        group.append((raw, gt, name))
+    if group:
+        hist = flush(group, hist)
 
-            color = palette[pred]
-            Image.fromarray(color).save(
-                os.path.join(args.results_dir, f"{name}_pred.png"))
-            blend = (0.5 * color + 0.5 * np.asarray(raw)).astype(np.uint8)
-            Image.fromarray(blend).save(
-                os.path.join(args.results_dir, f"{name}_compose.png"))
-            gt_np = np.asarray(gt)
-            valid = gt_np != 255
-            diff = np.where(valid & (pred != gt_np), color, 0).astype(np.uint8)
-            Image.fromarray(diff).save(
-                os.path.join(args.results_dir, f"{name}_diff.png"))
-        if i % 10 == 0:
-            print(f"[{i + 1}/{n}] {name}: cum mIoU {mean_iu(hist) * 100:.2f} "
-                  f"({1.0 / np.mean(times):.2f} img/s)")
-
-    if hist is not None:
+    if done[0]:
         print(format_class_table(np.asarray(hist), TRAINID_NAMES))
+        print(f"mIoU {mean_iu(np.asarray(hist)) * 100:.2f}")
         print(f"throughput: {1.0 / np.mean(times):.3f} images/sec"
-              f" (first image includes compile)")
+              f" (first batch includes compile)")
 
 
 if __name__ == "__main__":
