@@ -138,7 +138,7 @@ def main():
     ap.add_argument("--steps", type=int, default=5, help="timed train steps")
     ap.add_argument("--crop", type=int, default=768)
     ap.add_argument("--bs_mult", type=int, default=4)
-    ap.add_argument("--images", type=int, default=4, help="timed images")
+    ap.add_argument("--images", type=int, default=8, help="timed images")
     ap.add_argument("--batch", type=int, default=2,
                     help="images per device batch (vmapped eval programs)")
     ap.add_argument("--height", type=int, default=1024)
@@ -212,18 +212,36 @@ def main():
     # best of 2 timed passes: the TPU here sits behind a network tunnel
     # whose latency fluctuates run to run (measured 2.3-2.7 img/s on
     # identical code); the max is the honest chip-throughput estimate.
+    import queue
+    import threading
+
     per_img = float("inf")
     with prof:
         for _ in range(2):
             t0 = time.time()
-            for img_i in imgs:
-                pred = ev.predict_batch_device(img_i)
+            # threaded upload prefetch: the ~13MB uint8 uploads ride the
+            # (slow, fluctuating) tunnel link in a background thread while
+            # the main thread keeps the chip fed -- the same prefetch any
+            # real input pipeline does.  device_put through the tunnel can
+            # block, so async-dispatch alone is not enough.
+            upq: queue.Queue = queue.Queue(maxsize=2)
+
+            def uploader():
+                for a in imgs:
+                    upq.put(jax.device_put(a))
+
+            ut = threading.Thread(target=uploader, daemon=True)
+            ut.start()
+            for _k in range(n_batches):
+                cur = upq.get()
+                pred = ev.predict_batch_device(cur)
                 hist = hist_update(hist, pred, fake_gt)
             # honest sync: fetch a scalar that depends on the whole pipeline
             # (block_until_ready alone can return early through the axon
             # tunnel; see bench_train note)
             assert int(jnp.sum(hist)) >= 0
             per_img = min(per_img, (time.time() - t0) / (n_batches * args.batch))
+            ut.join()
     ips = 1.0 / per_img
 
     print(json.dumps({

@@ -186,11 +186,12 @@ def main(argv=None):
     batched = hasattr(ev, "predict_batch_device") and not args.dump_images
     batch_n = max(args.eval_batch, 1) if batched else 1
 
-    def flush(group, hist):
+    def flush(group, hist, raws_dev=None):
         """Run one same-shape group; hist stays on device (no sync)."""
         t0 = time.time()
         if batched and len(group) > 1:
-            raws = np.stack([g[0] for g in group])
+            raws = (raws_dev if raws_dev is not None
+                    else np.stack([g[0] for g in group]))
             preds = ev.predict_batch_device(raws)
             gts = jnp.asarray(np.stack([g[1] for g in group]))
             hist = hist_update(hist, preds, gts)
@@ -211,16 +212,27 @@ def main(argv=None):
                   f"{1.0 / np.mean(times):.2f} img/s")
         return hist
 
+    # lag-one flush with async upload: when a group completes, its stacked
+    # images start streaming to the device (jax.device_put returns without
+    # waiting) while the PREVIOUS group is still computing -- the upload
+    # rides under the compute instead of serializing with it
     group: list = []
+    ready = None  # (group, device_array) waiting to be flushed
     for i in range(lo, hi):
         raw, gt, name = ds[i]
         if eval_joint is not None:
             raw, gt = eval_joint(raw, gt)
         if group and (len(group) >= batch_n
                       or group[-1][0].shape != raw.shape):
-            hist = flush(group, hist)
+            dev = (jax.device_put(np.stack([g[0] for g in group]))
+                   if batched and len(group) > 1 else None)
+            if ready is not None:
+                hist = flush(ready[0], hist, ready[1])
+            ready = (group, dev)
             group = []
         group.append((raw, gt, name))
+    if ready is not None:
+        hist = flush(ready[0], hist, ready[1])
     if group:
         hist = flush(group, hist)
 
