@@ -61,6 +61,16 @@ def build_parser():
     p.add_argument("--eval_batch", type=int, default=2,
                    help="same-shape images batched through one vmapped "
                         "program (sliding mode; bench.py's measured path)")
+    p.add_argument("--scale_batch", default=None,
+                   help="per-scale image-batch caps, e.g. '0.5:8,1.0:4,2.0:2'"
+                        " (eval_batch becomes the super-batch; identical "
+                        "predictions, better dispatch amortization at small "
+                        "scales)")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard eval batches over all visible devices "
+                        "(GSPMD data axis; the reference's DDP eval + hist "
+                        "all-reduce, eval.py:123-127). eval_batch becomes "
+                        "the per-device batch")
     p.add_argument("--model_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     return p
@@ -119,11 +129,16 @@ def main(argv=None):
         return out["low_out"]
 
     scales = tuple(float(s) for s in args.scales.split(","))
+    scale_batch = None
+    if args.scale_batch:
+        scale_batch = {float(k): int(v) for k, v in
+                       (kv.split(":") for kv in args.scale_batch.split(","))}
     if args.inference_mode == "sliding":
         ev = SlidingEvaluator(
             apply_fn, scales=scales, flip=not args.no_flip,
             crop_size=args.crop_size, overlap=args.sliding_overlap,
-            apply_low_fn=apply_low_fn if args.fast_merge else None)
+            apply_low_fn=apply_low_fn if args.fast_merge else None,
+            scale_batch=scale_batch)
     else:
         ev = PoolingEvaluator(apply_fn, scales=scales, flip=not args.no_flip)
 
@@ -185,6 +200,15 @@ def main(argv=None):
 
     batched = hasattr(ev, "predict_batch_device") and not args.dump_images
     batch_n = max(args.eval_batch, 1) if batched else 1
+    mesh = None
+    if args.data_parallel and batched:
+        from pinthememory_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(jax.devices(), spatial=1)
+        ndev = mesh.shape["data"]
+        batch_n = max(batch_n, 1) * ndev
+        print(f"data-parallel eval over {ndev} devices "
+              f"(global batch {batch_n})")
 
     def flush(group, hist, raws_dev=None):
         """Run one same-shape group; hist stays on device (no sync)."""
@@ -212,6 +236,18 @@ def main(argv=None):
                   f"{1.0 / np.mean(times):.2f} img/s")
         return hist
 
+    def upload(group):
+        """Async device placement of a stacked group; sharded over the data
+        axis in data-parallel mode so each device receives only its shard."""
+        if not (batched and len(group) > 1):
+            return None
+        arr = np.stack([g[0] for g in group])
+        if mesh is not None and len(group) % mesh.shape["data"] == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            return jax.device_put(arr, NamedSharding(mesh, P("data")))
+        return jax.device_put(arr)
+
     # lag-one flush with async upload: when a group completes, its stacked
     # images start streaming to the device (jax.device_put returns without
     # waiting) while the PREVIOUS group is still computing -- the upload
@@ -224,8 +260,7 @@ def main(argv=None):
             raw, gt = eval_joint(raw, gt)
         if group and (len(group) >= batch_n
                       or group[-1][0].shape != raw.shape):
-            dev = (jax.device_put(np.stack([g[0] for g in group]))
-                   if batched and len(group) > 1 else None)
+            dev = upload(group)
             if ready is not None:
                 hist = flush(ready[0], hist, ready[1])
             ready = (group, dev)

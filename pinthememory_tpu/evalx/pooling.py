@@ -56,6 +56,51 @@ class PoolingEvaluator:
         self._programs[key] = run
         return run
 
+    def _batch_program(self, n: int, img_h: int, img_w: int, scale: float):
+        """One program per (batch, size, scale): both flip variants batched
+        with the originals so the model runs once on 2N images."""
+        key = ("batch", n, img_h, img_w, scale)
+        if key in self._programs:
+            return self._programs[key]
+        sh, sw = int(img_h * scale), int(img_w * scale)
+        with_flip = self.flip
+
+        @jax.jit
+        def run(raws: jnp.ndarray):  # (N, H, W, 3) uint8/float
+            prep = jax.vmap(lambda r: normalize_image(
+                resize_pil_bilinear(r.astype(jnp.float32), (sh, sw))))
+            imgs = prep(raws)
+            x = (jnp.concatenate([imgs, imgs[:, :, ::-1, :]], axis=0)
+                 if with_flip else imgs)
+            logits = self.apply_fn(x)
+            back = jax.vmap(lambda l: resize_bilinear_half_pixel(
+                l.astype(jnp.float32), (img_h, img_w)))
+            probs = jax.nn.softmax(back(logits), axis=-1)
+            if with_flip:
+                po, pf = jnp.split(probs, 2, axis=0)
+                probs = 0.5 * (po + pf[:, :, ::-1, :])
+            return probs
+
+        self._programs[key] = run
+        return run
+
+    def predict_batch_device(self, raw_imgs) -> jnp.ndarray:
+        """(N, H, W) uint8 predictions on device for a stacked image batch.
+
+        Identical fusion math to :meth:`predict_probs`: every scale
+        contributes the same number of flip variants, so the mean over
+        per-scale flip-means equals MeanFusion's running mean over all
+        (scale, flip) passes (eval.py:133-146).
+        """
+        raws = jnp.asarray(raw_imgs)
+        n, img_h, img_w = raws.shape[:3]
+        acc = None
+        for scale in self.scales:
+            run = self._batch_program(n, img_h, img_w, scale)
+            p = run(raws)
+            acc = p if acc is None else acc + p
+        return jnp.argmax(acc, axis=-1).astype(jnp.uint8)
+
     def predict_probs(self, raw_img) -> jnp.ndarray:
         img_h, img_w = raw_img.shape[:2]
         raw = jnp.asarray(raw_img)

@@ -70,6 +70,7 @@ class SlidingEvaluator:
         flip: bool = True,
         tile_batch: int = 0,
         apply_low_fn: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
+        scale_batch: dict | None = None,
     ):
         self.apply_fn = apply_fn
         self.num_classes = num_classes
@@ -78,6 +79,12 @@ class SlidingEvaluator:
         self.scales = tuple(scales)
         self.flip = flip
         self.tile_batch = tile_batch
+        # per-scale image-batch cap for predict_batch_device: small-scale
+        # programs are dispatch-bound (few tiny tiles) and want MORE images
+        # per program, while scale-2.0 is HBM-bound and wants FEW; e.g.
+        # {0.5: 8, 1.0: 4, 2.0: 2}.  None = run each scale on the whole
+        # batch (previous behavior).
+        self.scale_batch = dict(scale_batch) if scale_batch else None
         # fast-merge: apply_low_fn returns the model's PRE-upsample logits
         # (dec2, OS4 for the D16 heads); tiles merge at decoder resolution
         # and upsample once per image.  NOT the reference protocol: per-tile
@@ -191,13 +198,57 @@ class SlidingEvaluator:
         return run
 
     def predict_batch_device(self, raw_imgs) -> jnp.ndarray:
-        """(N, H, W) uint8 predictions on device for a stacked image batch."""
+        """(N, H, W) uint8 predictions on device for a stacked image batch.
+
+        With ``scale_batch`` set, each scale runs in chunks of its own batch
+        cap: N can be a super-batch (e.g. 8) so the tiny scale-0.5 program
+        sees 8 images in one dispatch while the HBM-heavy scale-2.0 program
+        still runs 2 at a time.  Logit sums per image are unaffected by the
+        chunking, so predictions are identical for any cap choice.
+        """
         raws = jnp.asarray(raw_imgs)
         n, img_h, img_w = raws.shape[:3]
         acc = None
         for scale in self.scales:
+            cap = n
+            if self.scale_batch:
+                cap = max(1, min(int(self.scale_batch.get(scale, n)), n))
+            outs = []
+            for i in range(0, n, cap):
+                chunk = raws[i:i + cap]
+                run = self._batch_program(chunk.shape[0], img_h, img_w, scale)
+                outs.append(run(chunk))
+            out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+            acc = out if acc is None else acc + out
+        return jnp.argmax(acc, axis=-1).astype(jnp.uint8)
+
+    def predict_batch_sharded(self, raw_imgs, mesh) -> jnp.ndarray:
+        """Data-parallel batched prediction over a device mesh.
+
+        The image batch is sharded over the mesh's ``data`` axis and the
+        same vmapped per-scale programs run under GSPMD -- each device
+        evaluates its shard of images, no cross-device communication until
+        the caller reduces (e.g. a global confusion matrix, where XLA
+        inserts the psum).  TPU-native replacement for the reference's
+        multi-process DDP eval (eval.py:123-127) + hist all-reduce.
+
+        Per-scale ``scale_batch`` caps are ignored here: the shard is the
+        per-device batch, so dispatch amortization comes from the batch
+        size itself (use n_images >= n_devices * desired_per_device).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        raws = np.asarray(raw_imgs)
+        n = raws.shape[0]
+        ndev = int(np.prod([mesh.shape[a] for a in ("data",) if a in mesh.shape]))
+        assert n % ndev == 0, f"batch {n} not divisible by data axis {ndev}"
+        sharding = NamedSharding(mesh, P("data"))
+        dev = jax.device_put(raws, sharding)
+        img_h, img_w = raws.shape[1:3]
+        acc = None
+        for scale in self.scales:
             run = self._batch_program(n, img_h, img_w, scale)
-            out = run(raws)
+            out = run(dev)
             acc = out if acc is None else acc + out
         return jnp.argmax(acc, axis=-1).astype(jnp.uint8)
 

@@ -49,6 +49,10 @@ def main(argv=None):
     ap.add_argument("--scales", default="0.5,1.0,2.0")
     ap.add_argument("--no_flip", action="store_true")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--sweep", default=None,
+                    help="per-scale image-batch sweep, e.g. "
+                         "'0.5:2,4,8;1.0:2,4;2.0:1,2' -- reports sec/image "
+                         "and MFU per (scale, batch) to pick scale_batch caps")
     args = ap.parse_args(argv)
 
     import bench  # repo-root bench harness (model + evaluator assembly)
@@ -68,6 +72,45 @@ def main(argv=None):
 
     kind, peak = chip_peak()
     rng = np.random.default_rng(0)
+
+    def time_program(fn, inp):
+        """(best sec, flops) for a compiled vmapped program; honest sync via
+        a scalar reduction fetch (block_until_ready can return early through
+        the axon tunnel)."""
+        compiled = fn.lower(inp).compile()
+        cost = compiled.cost_analysis() or {}
+        if isinstance(cost, list):
+            cost = cost[0] if cost else {}
+        flops = float(cost.get("flops", 0.0))
+        checksum = jax.jit(lambda y: jnp.sum(y.astype(jnp.float32)))
+        float(checksum(compiled(inp)))  # warmup
+        best = float("inf")
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            float(checksum(compiled(inp)))
+            best = min(best, time.perf_counter() - t0)
+        return best, flops
+
+    if args.sweep:
+        rows = []
+        for part in args.sweep.split(";"):
+            s, bs = part.split(":")
+            scale = float(s)
+            body = ev._scale_program(args.height, args.width, scale)
+            for b in (int(x) for x in bs.split(",")):
+                inp = jnp.asarray(rng.integers(
+                    0, 255, (b, args.height, args.width, 3), dtype=np.uint8))
+                best, flops = time_program(jax.jit(jax.vmap(body)), inp)
+                tflops = flops / best / 1e12
+                row = {"scale": scale, "batch": b,
+                       "sec_per_image": round(best / b, 4),
+                       "tflops": round(tflops, 1),
+                       "mfu_pct": round(100 * tflops / peak, 1)}
+                rows.append(row)
+                print(json.dumps(row), flush=True)
+        print(json.dumps({"device": kind, "sweep": rows}, indent=2))
+        return
+
     raws = jnp.asarray(rng.integers(
         0, 255, (args.batch, args.height, args.width, 3), dtype=np.uint8))
 
@@ -76,23 +119,7 @@ def main(argv=None):
     rows = []
     for scale in ev.scales:
         body = ev._scale_program(args.height, args.width, scale)
-        fn = jax.jit(jax.vmap(body))
-        lowered = fn.lower(raws)
-        compiled = lowered.compile()
-        cost = compiled.cost_analysis() or {}
-        if isinstance(cost, list):  # older jax returns [dict]
-            cost = cost[0] if cost else {}
-        flops = float(cost.get("flops", 0.0))
-        # honest sync: block_until_ready can return early through the axon
-        # tunnel; a scalar reduction fetched to host cannot (costs one HBM
-        # read of the logits, ~2ms -- noise against 50ms+ programs)
-        checksum = jax.jit(lambda y: jnp.sum(y.astype(jnp.float32)))
-        float(checksum(compiled(raws)))  # warmup
-        best = float("inf")
-        for _ in range(args.reps):
-            t0 = time.perf_counter()
-            float(checksum(compiled(raws)))
-            best = min(best, time.perf_counter() - t0)
+        best, flops = time_program(jax.jit(jax.vmap(body)), raws)
         tflops = flops / best / 1e12
         rows.append({
             "scale": scale, "sec_per_batch": round(best, 4),

@@ -106,12 +106,71 @@ def test_sliding_evaluator_multiscale_shapes():
     assert np.isfinite(np.asarray(logits)).all()
 
 
+def test_batch_device_scale_chunking_identical():
+    """Per-scale image-batch caps (scale_batch) must not change predictions:
+    chunking only regroups which images share a dispatch."""
+    rng = np.random.default_rng(7)
+    raws = rng.integers(0, 255, (4, 64, 96, 3), dtype=np.uint8)
+
+    def model(tiles):  # non-trivial logits so argmax is data-dependent
+        base = jnp.concatenate(
+            [tiles, tiles[..., :1] * tiles[..., 1:2], -tiles,
+             tiles[..., ::-1]], axis=-1)  # 10 channels
+        return jnp.concatenate([base, base], axis=-1)[..., :19]
+
+    kw = dict(crop_size=32, overlap=1 / 3, scales=(0.5, 1.0, 2.0), flip=True)
+    whole = SlidingEvaluator(model, **kw)
+    chunked = SlidingEvaluator(model, scale_batch={0.5: 4, 1.0: 2, 2.0: 1}, **kw)
+    a = np.asarray(whole.predict_batch_device(raws))
+    b = np.asarray(chunked.predict_batch_device(raws))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_batch_sharded_matches_unsharded():
+    """Data-parallel eval over the 8-device mesh (conftest forces the CPU
+    mesh) must produce exactly the unsharded predictions."""
+    from pinthememory_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(11)
+    raws = rng.integers(0, 255, (8, 64, 96, 3), dtype=np.uint8)
+
+    def model(tiles):
+        base = jnp.concatenate([tiles, -tiles, tiles[..., ::-1]], axis=-1)
+        return jnp.concatenate([base, base, base], axis=-1)[..., :19]
+
+    ev = SlidingEvaluator(model, crop_size=32, overlap=1 / 3,
+                          scales=(0.5, 1.0), flip=True)
+    mesh = make_mesh(jax.devices()[:8], spatial=1)
+    a = np.asarray(ev.predict_batch_device(jnp.asarray(raws)))
+    b = np.asarray(ev.predict_batch_sharded(raws, mesh))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_pooling_evaluator_probs_normalized():
     rng = np.random.default_rng(3)
     raw = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
     ev = PoolingEvaluator(_identity_apply, scales=(1.0, 0.5), flip=True)
     probs = np.asarray(ev.predict_probs(raw))
     np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
+
+
+def test_pooling_batched_matches_per_image():
+    """Batched pooled inference must reproduce per-image MeanFusion argmax
+    (and probs up to float tolerance)."""
+    rng = np.random.default_rng(12)
+    raws = rng.integers(0, 255, (3, 48, 64, 3), dtype=np.uint8)
+    # 19 DISTINCT linear channel mixes: duplicated logits would tie at
+    # argmax and break bitwise comparison on summation-order noise
+    w = jnp.asarray(rng.standard_normal((3, 19)).astype(np.float32))
+
+    def model(x):
+        return x @ w
+
+    ev = PoolingEvaluator(model, scales=(1.0, 0.5), flip=True)
+    batched = np.asarray(ev.predict_batch_device(raws))
+    for i in range(raws.shape[0]):
+        per = np.asarray(ev.predict_probs(raws[i]))
+        np.testing.assert_array_equal(batched[i], per.argmax(-1))
 
 
 def test_fast_merge_matches_exact_in_tile_interiors():
