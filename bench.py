@@ -67,13 +67,19 @@ REF_A100_TRAIN_STEPS_PER_SEC_EST = 1.0
 
 
 def bench_train(args):
-    """Flagship memory-MLDG train-step throughput (VERDICT r1 item 8)."""
+    """Flagship memory-MLDG train-step throughput (VERDICT r1 item 8).
+
+    ``--episode agg`` times the aggregation episode instead (one fwd+bwd on
+    the flattened domain batch + clean memory rewrite) -- the MFU delta
+    between the two isolates what the MLDG choreography costs beyond its
+    extra FLOPs.
+    """
     from pinthememory_tpu.core.config import (
         Config, MemoryConfig, ModelConfig, OptimConfig, TrainConfig,
     )
     from pinthememory_tpu.models import build_model
     from pinthememory_tpu.models.memory import init_memory
-    from pinthememory_tpu.train.loops import make_train_step_mldg
+    from pinthememory_tpu.train.loops import make_train_step_agg, make_train_step_mldg
     from pinthememory_tpu.train.state import create_train_state
 
     hw, bs, n_dom = args.crop, args.bs_mult, 2
@@ -91,7 +97,14 @@ def bench_train(args):
         {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, hw, hw, 3)),
         jnp.zeros((1, hw, hw), jnp.int32), m_items, rng=jax.random.PRNGKey(2))
     state, tx = create_train_state(cfg, variables, m_items)
-    step = make_train_step_mldg(model, cfg, tx)
+    if args.episode == "agg":
+        agg_step = make_train_step_agg(model, cfg, tx)
+
+        def step(state, batch, rng, tr, te, inner_lr):
+            return agg_step(state, batch, rng)
+        step.lower = lambda s, b, r, tr, te, il: agg_step.lower(s, b, r)
+    else:
+        step = make_train_step_mldg(model, cfg, tx)
 
     rng = np.random.default_rng(0)
     batch = {
@@ -115,8 +128,17 @@ def bench_train(args):
             if isinstance(cost, list):
                 cost = cost[0] if cost else {}
             step_flops = float(cost.get("flops", 0.0))
+            step_bytes = float(cost.get("bytes accessed", 0.0))
+            if step_bytes:
+                print(f"# cost analysis: {step_flops / 1e12:.2f} TFLOP, "
+                      f"{step_bytes / 1e9:.1f} GB accessed "
+                      f"(arith intensity {step_flops / step_bytes:.0f} "
+                      f"FLOP/byte)", file=sys.stderr)
         except Exception as e:  # best-effort on some backends
             print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+
+    def sync_total(m) -> float:
+        return float((m["outer"] if "outer" in m else m)["total"])
 
     t0 = time.time()
     state, m = step(state, batch, jax.random.PRNGKey(3), (0,), (1,), inner_lr)
@@ -124,7 +146,7 @@ def bench_train(args):
     # return before remote execution finishes (measured 100x-off timings);
     # the metrics scalar depends on the full step, so fetching it is an
     # honest sync with negligible transfer cost
-    float(m["outer"]["total"])
+    sync_total(m)
     print(f"# train warmup (compile) {time.time() - t0:.1f}s", file=sys.stderr)
 
     best = float("inf")
@@ -133,7 +155,7 @@ def bench_train(args):
         for i in range(args.steps):
             state, m = step(state, batch, jax.random.PRNGKey(4 + i),
                             (0,), (1,), inner_lr)
-        assert np.isfinite(float(m["outer"]["total"]))  # sync on the chain
+        assert np.isfinite(sync_total(m))  # sync on the chain
         best = min(best, (time.time() - t0) / args.steps)
     sps = 1.0 / best
 
@@ -147,7 +169,7 @@ def bench_train(args):
               f"({kind}, bf16 peak {peak})", file=sys.stderr)
 
     print(json.dumps({
-        "metric": f"train_memory_mldg_{hw}_bs{bs}x{n_dom}dom_steps_per_sec",
+        "metric": f"train_memory_{args.episode}_{hw}_bs{bs}x{n_dom}dom_steps_per_sec",
         "value": round(sps, 4),
         "unit": "steps/sec",
         "vs_baseline": round(sps / REF_A100_TRAIN_STEPS_PER_SEC_EST, 2),
@@ -163,6 +185,8 @@ def main():
     ap.add_argument("--mfu", action="store_true",
                     help="with --train: also report the episode's XLA "
                          "cost-analysis FLOPs and MFU (pays an extra compile)")
+    ap.add_argument("--episode", default="mldg", choices=["mldg", "agg"],
+                    help="with --train: which episode to time")
     ap.add_argument("--crop", type=int, default=768)
     ap.add_argument("--bs_mult", type=int, default=4)
     ap.add_argument("--images", type=int, default=12, help="timed images")

@@ -10,9 +10,10 @@ write/reset choreography (train.py:530-583) visible dataflow instead of
 hidden mutation.
 
 The read is a tiny attention: (B*H*W) queries x M=19 keys of width 256.  The
-score/softmax/gather chain is matmul-shaped and fuses onto the MXU; a Pallas
-fused kernel for it lives in ops/memory_kernel.py and is used on TPU for the
-(normalize -> score -> 2x softmax -> retrieve) pipeline.
+score/softmax/gather chain is matmul-shaped and fuses onto the MXU; XLA fuses
+it to HBM speed-of-light (~820 GB/s measured, tools/kernel_bench.py), so the
+jnp chain is the default.  A hand-written Pallas kernel for the same pipeline
+lives in ops/memory_kernel.py (opt-in via PINMEM_PALLAS_READ=1).
 
 Under data parallelism the write statistics (nominator/denominator) are batch
 sums; with GSPMD batch sharding those sums are global collectives, so
@@ -115,7 +116,8 @@ def memory_read(
         score_memory = gumbel_softmax(km, flat, axis=1)
         retrieved = jnp.einsum("nm,md->nd", score_memory, m_items, precision=_HP)
     else:
-        # fused Pallas kernel on TPU (ops/memory_kernel.py)
+        # XLA-fused chain by default; Pallas kernel behind PINMEM_PALLAS_READ=1
+        # (measured slower on v5e -- see ops/memory_kernel.py docstring)
         from pinthememory_tpu.ops.memory_kernel import fused_memory_read
 
         qn_flat, flat, retrieved = fused_memory_read(

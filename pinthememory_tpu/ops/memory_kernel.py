@@ -12,11 +12,21 @@ softmax), so both matmuls are MXU-shaped.  A ``jax.custom_vjp`` provides the
 analytic backward in plain jnp (XLA fuses it), so the same entry point works
 on the training path.  Non-TPU backends fall back to the jnp reference
 implementation; ``interpret=True`` covers the kernel in CPU tests.
+
+MEASURED on TPU v5e (tools/kernel_bench.py, chained-reads timing, 2026-08-19):
+XLA already fuses this chain to HBM speed-of-light (~820 GB/s at every shape
+from 9k to 590k queries) because when only ``retr`` is consumed it never
+materializes the intermediates, while the hand-written kernel must write all
+three outputs and tops out at ~350-400 GB/s at large N.  Per the design rule
+"don't hand-schedule what the compiler already does", the DEFAULT on every
+backend is therefore the jnp chain; set ``PINMEM_PALLAS_READ=1`` to use the
+Pallas kernel (bit-identical to <1e-6 -- tests/test_memory_kernel.py).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +36,7 @@ _HP = jax.lax.Precision.HIGHEST
 _LANE = 128
 _ROW_BLOCK = 1024
 _EPS = 1e-12
+_USE_PALLAS = os.environ.get("PINMEM_PALLAS_READ", "0") == "1"
 
 
 def _read_kernel(q_ref, m_ref, qn_ref, score_ref, retr_ref, *, num_slots: int):
@@ -94,7 +105,7 @@ def fused_memory_read(query: jnp.ndarray, m_items: jnp.ndarray, interpret: bool 
 
     Plain-softmax read path (the gumbel variant perturbs ``score`` outside).
     """
-    if interpret or jax.default_backend() == "tpu":
+    if interpret or (_USE_PALLAS and jax.default_backend() == "tpu"):
         return _fused_read_fwd_impl(query, m_items, interpret)
     return _jnp_read(query, m_items)
 
