@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from pinthememory_tpu.core.config import Config
 from pinthememory_tpu.ops.resize import resize_labels_nearest
+from pinthememory_tpu.ops.select import one_hot_select
 
 # torch-standard Cityscapes class weights (loss.py:21-23)
 CLASS_WEIGHTS_19 = jnp.array(
@@ -42,9 +43,11 @@ def cross_entropy_2d(
     valid = (labels != ignore_index) & (labels >= 0) & (labels < num_classes)
     safe = jnp.where(valid, labels, 0).astype(jnp.int32)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll = -one_hot_select(logp, safe)
     if class_weights is not None:
-        wpix = class_weights[safe]
+        wpix = one_hot_select(
+            jnp.broadcast_to(class_weights.astype(jnp.float32), logp.shape),
+            safe)
         nll = nll * wpix
         denom = jnp.sum(jnp.where(valid, wpix, 0.0))
     else:
@@ -73,9 +76,12 @@ def image_weighted_cross_entropy(
 
     def one(lg, lb):
         in_range = (lb >= 0) & (lb < num_classes)
-        hist = jnp.zeros((num_classes,), jnp.float32).at[
-            jnp.where(in_range, lb, 0).reshape(-1)
-        ].add(in_range.reshape(-1).astype(jnp.float32))
+        # scatter-free histogram: one-hot compare + reduce (a 2M-index
+        # scatter-add is a serial loop on TPU, see one_hot_select)
+        safe_lb = jnp.where(in_range, lb, num_classes).reshape(-1)
+        hist = jnp.sum(
+            (safe_lb[:, None] == jnp.arange(num_classes)).astype(jnp.float32),
+            axis=0)
         total = jnp.maximum(jnp.sum(hist), 1.0)
         density = hist / total
         if norm:
