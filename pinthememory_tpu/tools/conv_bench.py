@@ -68,9 +68,16 @@ def _chained(fn, k: int, carry_proj):
     return run
 
 
-def time_case(name, x, w, fn, flops_once, reps, peak, k_lo=2, k_hi=10):
+def time_case(name, x, w, fn, flops_once, reps, peak, k_lo=8, k_hi=136):
+    # k_hi - k_lo = 128 chained iterations between the two timed programs:
+    # the tunnel's multi-ms RTT jitter needs >100 ms of differenced device
+    # work to vanish from the quotient
     cout, cin = w.shape[-1], w.shape[-2]
-    proj = jnp.zeros((cout, cin), x.dtype)
+    # random, small-magnitude chain projection: an all-zeros matrix would be
+    # algebraically simplified away by XLA (dot(x, 0) -> 0) and the whole
+    # loop body would be dead-code-eliminated
+    proj = jnp.asarray(
+        np.random.default_rng(1).standard_normal((cout, cin)) * 0.02, x.dtype)
     times = {}
     for k in (k_lo, k_hi):
         run = _chained(fn, k, proj)

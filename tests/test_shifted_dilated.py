@@ -1,0 +1,70 @@
+"""ShiftedDilatedConv3x3 == nn.Conv (values and gradients).
+
+The shifted-matmul formulation (models/layers.py) replaces XLA's
+space-to-batch dilated-conv lowering on the hot path; these tests pin that
+it is a drop-in: same parameter tree, same outputs, same gradients.
+"""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pinthememory_tpu.models.layers import ShiftedDilatedConv3x3, torch_pad
+
+
+def _ref_conv(features, dilation, bias):
+    return nn.Conv(
+        features=features, kernel_size=(3, 3), strides=(1, 1),
+        padding=torch_pad(dilation), kernel_dilation=(dilation, dilation),
+        use_bias=bias)
+
+
+@pytest.mark.parametrize("dilation", [1, 2, 6, 18])
+@pytest.mark.parametrize("bias", [False, True])
+def test_matches_nn_conv(dilation, bias):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 24, 24, 8)), jnp.float32)
+    ref = _ref_conv(16, dilation, bias)
+    alt = ShiftedDilatedConv3x3(features=16, dilation=dilation, use_bias=bias)
+
+    params = ref.init(jax.random.PRNGKey(0), x)
+    # identical param tree: the alt module consumes the ref's params as-is
+    assert jax.tree.structure(params) == jax.tree.structure(
+        alt.init(jax.random.PRNGKey(0), x))
+
+    y_ref = ref.apply(params, x)
+    y_alt = alt.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y_alt), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gradients_match():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 4)), jnp.float32)
+    ref = _ref_conv(8, 2, False)
+    alt = ShiftedDilatedConv3x3(features=8, dilation=2)
+    params = ref.init(jax.random.PRNGKey(0), x)
+
+    def loss(module):
+        def f(p, xin):
+            return jnp.sum(module.apply(p, xin) ** 2)
+        return jax.grad(f, argnums=(0, 1))(params, x)
+
+    (gp_ref, gx_ref), (gp_alt, gx_alt) = loss(ref), loss(alt)
+    np.testing.assert_allclose(np.asarray(gx_alt), np.asarray(gx_ref),
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(gp_alt), jax.tree.leaves(gp_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_conv2d_dispatch():
+    """conv2d picks the shifted form only for 3x3/stride-1/SAME dilated."""
+    from pinthememory_tpu.models.layers import conv2d
+
+    assert isinstance(conv2d(8, 3, 1, 2, 2), ShiftedDilatedConv3x3)
+    assert isinstance(conv2d(8, 3, 2, 2, 2), nn.Conv)   # strided
+    assert isinstance(conv2d(8, 3, 1, 1, 1), nn.Conv)   # dense
+    assert isinstance(conv2d(8, 1, 1, 0, 1), nn.Conv)   # 1x1
