@@ -145,10 +145,63 @@ def main(argv=None):
                                    batch["aux_gts"]).total
         return fn
 
+    def stage_fn(stage: str, bs: int):
+        """Isolated model stages at eval mode (attributes the forward MFU)."""
+        import flax.linen as nn
+        from pinthememory_tpu.ops.resize import resize_bilinear_align_corners
+
+        h16, h4 = hw // 16, hw // 4
+        vars_ = {"params": state.params, "batch_stats": state.batch_stats}
+        if stage == "backbone":
+            x = jnp.asarray(rng.standard_normal((bs, hw, hw, 3)), jnp.float32)
+
+            def run(v, x):
+                feats = model.apply(
+                    v, x, train=False,
+                    method=lambda m, x, train: m.backbone(x, train=train))
+                return jnp.sum(feats["out"].astype(jnp.float32))
+        elif stage == "aspp":
+            x = jnp.asarray(
+                rng.standard_normal((bs, h16, h16, 2048)), jnp.bfloat16)
+
+            def run(v, x):
+                y = model.apply(
+                    v, x, train=False,
+                    method=lambda m, f, train: m.aspp(f, train=train))
+                return jnp.sum(y.astype(jnp.float32))
+        elif stage == "decoder":
+            x = jnp.asarray(
+                rng.standard_normal((bs, h4, h4, 304)), jnp.bfloat16)
+
+            def dec(m, d):
+                y = nn.relu(m.final1_bn1(m.final1_conv1(d),
+                                         use_running_average=True))
+                y = nn.relu(m.final1_bn2(m.final1_conv2(y),
+                                         use_running_average=True))
+                return m.final2_conv(y)
+
+            def run(v, x):
+                return jnp.sum(model.apply(v, x, method=dec).astype(jnp.float32))
+        elif stage == "upsample":
+            x = jnp.asarray(
+                rng.standard_normal((bs, h4, h4, 19)), jnp.bfloat16)
+
+            def run(v, x):
+                return jnp.sum(resize_bilinear_align_corners(
+                    x, (hw, hw)).astype(jnp.float32))
+        else:
+            raise SystemExit(f"unknown stage: {stage}")
+        return jax.jit(run), vars_, x
+
     def probe_one(name: str, bs: int):
         flat = _batch(rng, bs, hw)
         key = jax.random.PRNGKey(1)
-        if name == "fwd":
+        if name.startswith("stage_"):
+            fn, vars_, x = stage_fn(name[6:], bs)
+            compiled = fn.lower(vars_, x).compile()
+            t = _time_compiled(compiled, (vars_, x), lambda o: o,
+                               args.reps, k=8)
+        elif name == "fwd":
             fn = jax.jit(loss_fn)
             compiled = fn.lower(state.params, flat, key).compile()
             t = _time_compiled(compiled, (state.params, flat, key),
