@@ -4,6 +4,12 @@ Reference: eval.py:133-146 (MeanFusion) + 277-337 (inference_pool /
 pooled_eval).  Per (flip, scale): whole-image forward, bilinear
 (align_corners=False, eval.py:282) resize of the logits to the scale-1.0
 size, softmax, running mean; prediction = argmax of the fused mean.
+
+The INPUT pre-resize is PIL BICUBIC, not bilinear: the reference scales
+pooling inputs in the dataset (`img.resize((target_w, target_h))` with no
+resample argument, datasets/cityscapes.py:250-264) and PIL's default is
+Image.BICUBIC.  The sliding path, by contrast, passes Image.BILINEAR
+explicitly (eval.py:357).
 """
 
 from __future__ import annotations
@@ -17,7 +23,7 @@ import numpy as np
 from pinthememory_tpu.evalx.sliding import normalize_image
 from pinthememory_tpu.ops.resize import (
     resize_bilinear_half_pixel,
-    resize_pil_bilinear,
+    resize_pil_bicubic,
 )
 
 
@@ -43,7 +49,7 @@ class PoolingEvaluator:
 
         @jax.jit
         def run(raw_img: jnp.ndarray, do_flip: jnp.ndarray):
-            img = resize_pil_bilinear(raw_img.astype(jnp.float32), (sh, sw))
+            img = resize_pil_bicubic(raw_img.astype(jnp.float32), (sh, sw))
             img = jnp.where(do_flip, img[:, ::-1, :], img)
             img = normalize_image(img)
             logits = self.apply_fn(img[None])[0]
@@ -68,7 +74,7 @@ class PoolingEvaluator:
         @jax.jit
         def run(raws: jnp.ndarray):  # (N, H, W, 3) uint8/float
             prep = jax.vmap(lambda r: normalize_image(
-                resize_pil_bilinear(r.astype(jnp.float32), (sh, sw))))
+                resize_pil_bicubic(r.astype(jnp.float32), (sh, sw))))
             imgs = prep(raws)
             x = (jnp.concatenate([imgs, imgs[:, :, ::-1, :]], axis=0)
                  if with_flip else imgs)

@@ -102,6 +102,46 @@ def _pil_bilinear_matrix(in_size: int, out_size: int) -> np.ndarray:
     return a.astype(np.float32)
 
 
+def _pil_bicubic_kernel(x: np.ndarray, a: float = -0.5) -> np.ndarray:
+    """PIL's bicubic filter (Keys, a=-0.5), support 2."""
+    x = np.abs(x)
+    out = np.zeros_like(x)
+    m1 = x < 1.0
+    out[m1] = ((a + 2.0) * x[m1] - (a + 3.0)) * x[m1] * x[m1] + 1.0
+    m2 = (x >= 1.0) & (x < 2.0)
+    out[m2] = (((x[m2] - 5.0) * x[m2] + 8.0) * x[m2] - 4.0) * a
+    return out
+
+
+@functools.lru_cache(maxsize=256)
+def _pil_bicubic_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(out, in) matrix replicating PIL ``Image.BICUBIC`` resampling.
+
+    PIL's *default* resample filter: ``Image.resize`` with no argument is
+    BICUBIC, which is what the reference's pooling-mode eval input scaling
+    (datasets/cityscapes.py:250-264, ``img.resize((target_w, target_h))``)
+    and the training RandomSizeAndCrop/Resize transforms actually run.
+    Antialiased: the filter support scales with the downsampling factor,
+    same as PIL's ImagingResampleHorizontal.
+    """
+    a = np.zeros((out_size, in_size), dtype=np.float64)
+    scale = in_size / out_size
+    filterscale = max(scale, 1.0)
+    support = 2.0 * filterscale  # bicubic filter has support 2
+    for i in range(out_size):
+        center = (i + 0.5) * scale
+        left = max(int(center - support + 0.5), 0)
+        right = min(int(center + support + 0.5), in_size)
+        idx = np.arange(left, right)
+        w = _pil_bicubic_kernel((idx + 0.5 - center) / filterscale)
+        s = w.sum()
+        if s != 0:
+            a[i, left:right] = w / s
+        else:
+            a[i, min(int(center), in_size - 1)] = 1.0
+    return a.astype(np.float32)
+
+
 @functools.lru_cache(maxsize=256)
 def _half_pixel_taps(in_size: int, out_size: int):
     """(lo_idx, hi_idx, frac) arrays for 2-tap half-pixel linear sampling."""
@@ -140,6 +180,40 @@ def resize_bilinear_half_pixel(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.n
 def resize_pil_bilinear(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
     """PIL Image.BILINEAR (antialiased) resize (NHWC/HWC), float output."""
     return _apply_separable(x, out_hw, _pil_bilinear_matrix)
+
+
+def resize_pil_bicubic(
+    x: jnp.ndarray, out_hw: tuple[int, int], emulate_uint8: bool = True
+) -> jnp.ndarray:
+    """PIL Image.BICUBIC (antialiased, PIL's default) resize (NHWC/HWC).
+
+    PIL resamples HORIZONTALLY first and materializes each pass as uint8
+    (``clip8(round(v))``), so bicubic *overshoot* is clipped between passes
+    -- a visible effect at sharp edges, not just rounding noise (measured
+    max error 19/255 without emulation vs 1/255 with, random-noise image).
+    ``emulate_uint8=True`` reproduces that pipeline for [0, 255]-range
+    inputs; pass False for generic float data.
+    """
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    _, h, w, _ = x.shape
+    oh, ow = out_hw
+    xf = x.astype(jnp.float32)
+    hp = jax.lax.Precision.HIGHEST
+
+    def q(v):
+        return jnp.clip(jnp.floor(v + 0.5), 0.0, 255.0) if emulate_uint8 else v
+
+    if w != ow:
+        xf = q(jnp.einsum("ow,bhwc->bhoc",
+                          jnp.asarray(_pil_bicubic_matrix(w, ow), jnp.float32),
+                          xf, precision=hp))
+    if h != oh:
+        xf = q(jnp.einsum("oh,bhwc->bowc",
+                          jnp.asarray(_pil_bicubic_matrix(h, oh), jnp.float32),
+                          xf, precision=hp))
+    return xf[0] if squeeze else xf
 
 
 def _apply_separable(x: jnp.ndarray, out_hw, matrix_fn) -> jnp.ndarray:

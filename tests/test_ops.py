@@ -105,3 +105,29 @@ def test_pil_bilinear_matches_pil(in_hw, out_hw):
     # (wrong support/center) would show at tens of quanta.
     assert ours.shape == ref.shape
     assert np.abs(ours - ref).max() <= 1.25
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [
+    ((64, 128), (32, 64)),    # 0.5x downscale (antialiased support widens)
+    ((64, 128), (128, 256)),  # 2.0x upscale
+    ((50, 70), (33, 47)),     # non-integer ratio
+])
+def test_pil_bicubic_matches_pil(in_hw, out_hw):
+    """resize_pil_bicubic gates pooling-eval parity: the reference scales
+    pooling inputs with PIL's DEFAULT resample -- BICUBIC
+    (datasets/cityscapes.py:250-264, img.resize with no filter argument)."""
+    from PIL import Image
+
+    from pinthememory_tpu.ops.resize import resize_pil_bicubic
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 255, (*in_hw, 3), dtype=np.uint8)
+    ref = np.asarray(
+        Image.fromarray(img).resize(out_hw[::-1], Image.BICUBIC),
+        dtype=np.float64)
+    ours = np.asarray(resize_pil_bicubic(jnp.asarray(img, jnp.float32), out_hw))
+    # emulate_uint8 reproduces PIL's horizontal-first passes with uint8
+    # clamping between them (overshoot clipping); the residual is the 8-bit
+    # filter-coefficient quantization, worth at most ~1 output quantum.
+    assert ours.shape == ref.shape
+    assert np.abs(ours - ref).max() <= 1.0

@@ -9,24 +9,12 @@ JAX model -- the strongest available substitute for running a released
 checkpoint in this zero-egress environment.
 
 Import shims (environment gaps only, no behavioral stubs on the tested path):
-  - ``kmeans1d`` / ``skimage`` / ``datasets`` are absent or heavy; the tested
-    forward (eval mode, no whitening, no HideAndSeek) never calls into them.
-  - ``cfg.MODEL.BNFUNC`` -> ``nn.BatchNorm2d`` (reference default is
-    SyncBatchNorm, which needs a process group; config.py:111-114 makes the
-    same swap for apex off).
-  - ``.cuda()`` -> identity (CPU-only torch in this image).
-  - ``model_zoo.load_url`` -> {} (zero egress; forgiving_state_restore then
-    keeps the seeded random init, which is what we compare against).
+see ``tests/ref_harness.py`` -- shared by all reference-oracle parity tests.
 """
-
-import sys
-import types
 
 import numpy as np
 import pytest
 import torch
-import torch.nn as nn
-import torch.nn.functional as F
 
 import jax
 import jax.numpy as jnp
@@ -35,90 +23,12 @@ from pinthememory_tpu.core.config import MemoryConfig, ModelConfig
 from pinthememory_tpu.models import build_model
 from pinthememory_tpu.tools.convert_torch import convert_state_dict, merge_into_variables
 
-REF = "/root/reference"
-NUM_CLASSES = 19
-
-
-def _install_stub_modules():
-    if "kmeans1d" not in sys.modules:
-        fake = types.ModuleType("kmeans1d")
-        fake.cluster = lambda arr, k: ([0] * len(arr), [0.0] * k)
-        sys.modules["kmeans1d"] = fake
-    if "skimage" not in sys.modules:
-        sk = types.ModuleType("skimage")
-        for sub, names in (
-            ("filters", ["gaussian"]),
-            ("restoration", ["denoise_bilateral"]),
-            ("segmentation", ["find_boundaries"]),
-            ("util", ["random_noise"]),
-        ):
-            mod = types.ModuleType(f"skimage.{sub}")
-            for n in names:
-                setattr(mod, n, lambda *a, **k: None)
-            setattr(sk, sub, mod)
-            sys.modules[f"skimage.{sub}"] = mod
-        sys.modules["skimage"] = sk
-    if "torchvision" not in sys.modules:
-        # deepv3plus.py imports torchvision.models at module level but only
-        # calls it for the wide-resnet trunks; transforms.transforms uses
-        # torchvision.transforms inside methods the test never invokes.
-        tv = types.ModuleType("torchvision")
-        for sub in ("models", "transforms"):
-            mod = types.ModuleType(f"torchvision.{sub}")
-            mod.__getattr__ = lambda name: (lambda *a, **k: None)
-            setattr(tv, sub, mod)
-            sys.modules[f"torchvision.{sub}"] = mod
-        sys.modules["torchvision"] = tv
-    if "datasets" not in sys.modules:
-        # network/__init__.py imports the reference datasets package (heavy,
-        # data-dir probing); the model modules only need the class constants.
-        ds = types.ModuleType("datasets")
-        ds.num_classes = NUM_CLASSES
-        ds.ignore_label = 255
-        sys.modules["datasets"] = ds
+from ref_harness import NUM_CLASSES, build_reference_deepr50
 
 
 @pytest.fixture(scope="module")
 def reference_net():
-    _install_stub_modules()
-    sys.path.insert(0, REF)
-    t_cuda, m_cuda = torch.Tensor.cuda, nn.Module.cuda
-    torch.Tensor.cuda = lambda self, *a, **k: self
-    nn.Module.cuda = lambda self, *a, **k: self
-    try:
-        from config import cfg
-
-        cfg.immutable(False)
-        cfg.MODEL.BNFUNC = nn.BatchNorm2d
-
-        from network import Resnet
-
-        orig_load_url = Resnet.model_zoo.load_url
-        Resnet.model_zoo.load_url = lambda *a, **k: {}
-        try:
-            from network import deepv3plus
-
-            args = types.SimpleNamespace(
-                wt_layer=[0] * 7, use_wtloss=False, memory=True,
-                mem_slot=NUM_CLASSES, mem_dim=256, mem_momentum=0.8,
-                mem_temp=1.0, gumbel_off=True, relax_denom=0.0, clusters=50,
-                visualize_feature=False,
-            )
-            torch.manual_seed(0)
-            net = deepv3plus.DeepR50V3PlusD(args, NUM_CLASSES, None, None)
-        finally:
-            Resnet.model_zoo.load_url = orig_load_url
-    finally:
-        torch.Tensor.cuda, nn.Module.cuda = t_cuda, m_cuda
-
-    torch.manual_seed(1)
-    net.memory.m_items = F.normalize(torch.rand((NUM_CLASSES, 256)), dim=1)
-    for m in net.modules():
-        if isinstance(m, nn.BatchNorm2d):
-            m.running_mean.uniform_(-0.5, 0.5)
-            m.running_var.uniform_(0.5, 1.5)
-    net.eval()
-    return net
+    return build_reference_deepr50(memory=True)
 
 
 def test_reference_model_logit_parity(reference_net):
