@@ -99,6 +99,12 @@ def main(argv=None):
                            train=False, with_aux=False)
 
     collector = TsneCollector()
+    # second basket: the memory-REFINED features (the reference's
+    # tsne_runner_updated, ablation.py:356-359 -- updated_features =
+    # mem_outputs[-1], the post-read fused dec0_up).  The pre/post scatter
+    # pair is the paper's core qualitative evidence that the memory pulls
+    # class features together across domains.
+    collector_updated = TsneCollector() if args.memory else None
     cfg = Config(model=mc, data=DataConfig(dataset_root=args.dataset_root))
     from pinthememory_tpu.data.joint_transforms import CenterCropPad, ResizeHeight
 
@@ -122,6 +128,9 @@ def main(argv=None):
                                                    feat.shape[:2])[0])
             if args.tsne:
                 collector.add_batch(feat, lab, ds_name)
+                if collector_updated is not None and out["mem"] is not None:
+                    collector_updated.add_batch(
+                        np.asarray(out["mem"].fused[0]), lab, ds_name)
             if args.mem_actmap and out["mem"] is not None:
                 memact_heatmaps(
                     raw, np.asarray(out["mem"].score_memory[0]),
@@ -133,6 +142,14 @@ def main(argv=None):
         collector.draw(os.path.join(args.results_dir, "tsne"),
                        source_domains=tuple(args.source_domain))
         print(f"t-SNE written to {args.results_dir}/tsne")
+        if collector_updated is not None and collector_updated.features:
+            if m_items is not None:
+                collector_updated.add_memory(np.asarray(m_items))
+            collector_updated.draw(
+                os.path.join(args.results_dir, "tsne_updated"),
+                source_domains=tuple(args.source_domain))
+            print(f"post-memory t-SNE written to {args.results_dir}/tsne_updated")
+    return collector, collector_updated
 
 
 if __name__ == "__main__":

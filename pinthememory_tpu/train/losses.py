@@ -129,11 +129,14 @@ def img_wt_soft_nll(
     loss_matrix = (-1.0 / bw) * jnp.sum(t * cw * custom, axis=-1)
     loss_matrix = jnp.where(ignore, 0.0, loss_matrix)
 
-    b, h, w = border_weights.shape
-    denom = b * h * w - jnp.sum(ignore) + 1.0
-    # reference normalizes per-image then averages over batch; with uniform
-    # shapes the combined form below matches to first order
-    return jnp.sum(loss_matrix) / denom
+    # reference normalizes PER IMAGE -- custom_nll is called with a batch of
+    # one, so denom_i = (1*H*W - mask_i.sum() + 1) -- then means over the
+    # batch (loss.py:246-263); a combined denominator diverges whenever the
+    # ignore count varies across the batch
+    _, h, w = border_weights.shape
+    per_img = jnp.sum(loss_matrix, axis=(1, 2)) / (
+        h * w - jnp.sum(ignore, axis=(1, 2)) + 1.0)
+    return jnp.mean(per_img)
 
 
 class LossBundle(NamedTuple):

@@ -208,6 +208,27 @@ def import_reference_module(name: str):
         return importlib.import_module(name)
 
 
+@contextlib.contextmanager
+def numpy_normed_shim():
+    """numpy>=1.24 removed ``np.histogram(..., normed=True)``, which the
+    reference's ImageBasedCrossEntropyLoss2d.calculate_weights uses
+    (loss.py:140-141).  For unit-width integer bins (``range(classes+1)``)
+    ``normed`` is exactly ``density``, so shimming it preserves the oracle's
+    numerics bit-for-bit."""
+    orig = np.histogram
+
+    def patched(a, bins=10, **kw):
+        if kw.pop("normed", False):
+            kw["density"] = True
+        return orig(a, bins, **kw)
+
+    np.histogram = patched
+    try:
+        yield
+    finally:
+        np.histogram = orig
+
+
 def build_reference_deepr50(memory: bool = True, num_classes: int = NUM_CLASSES,
                             criterion=None, criterion_aux=None):
     """Instantiate the real ``DeepR50V3PlusD`` with seeded weights/BN/memory.

@@ -87,3 +87,26 @@ def test_make_splits_materializes_gtav_layout(tmp_path):
     # idempotent
     report2 = materialize_gtav(str(root), str(split_dir))
     assert report2 == report
+
+
+def test_ablation_cli_writes_pre_and_post_memory_tsne(tmp_path):
+    """End-to-end ablation CLI on the synthetic dataset: BOTH t-SNE basket
+    families must be written -- pre-memory (tsne_runner) and post-memory
+    refined features (tsne_runner_updated, reference ablation.py:356-359) --
+    and their basket vectors must differ (the memory read changes the
+    features it refines)."""
+    from pinthememory_tpu.tools import ablation
+
+    out = tmp_path / "abla"
+    pre_col, post_col = ablation.main([
+        "--arch", "DeepR18V3PlusD", "--memory", "--tsne",
+        "--dataset", "null_loader", "--max_images", "4",
+        "--crop_size", "64", "--results_dir", str(out),
+    ])
+    pre = list((out / "tsne").glob("*.png"))
+    post = list((out / "tsne_updated").glob("*.png"))
+    assert len(pre) >= 2, pre
+    assert len(post) >= 2, post
+    assert len(pre_col.features) == len(post_col.features)
+    d = np.abs(np.stack(pre_col.features) - np.stack(post_col.features))
+    assert d.max() > 1e-3  # the read actually refined the features
