@@ -127,6 +127,8 @@ class DataConfig:
     cv: int = 0
     class_uniform_pct: float = 0.0
     class_uniform_tile: int = 1024
+    max_cu_epoch: int = 10000       # train.py:1136: cut epoch for class-
+                                    # uniform sampling (fine-only after it)
     image_uniform_sampling: bool = False
     scale_min: float = 0.5
     scale_max: float = 2.0

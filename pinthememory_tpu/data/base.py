@@ -56,6 +56,11 @@ class SegmentationDataset:
         self.dump_images = dump_images
         self.jointwtborder = jointwtborder
         self.imgs: list[tuple[str, str]] = []
+        # extra (coarse/auxiliary) images mixed into class-uniform epochs
+        # until max_cu_epoch, then dropped by build_epoch(cut=True)
+        # (cityscapes.py:440-457: imgs+aug_imgs/centroids vs imgs/
+        # fine_centroids) -- empty unless a dataset mode populates it
+        self.aug_imgs: list[tuple[str, str]] = []
         # class-uniform build_epoch may replace this with (img, mask, centroid,
         # class) tuples (datasets/uniform.py:272-301)
         self.imgs_uniform: list | None = None

@@ -155,47 +155,64 @@ class DataLoader:
     def _iter_parallel(self, batches: list[list[int]]) -> Iterator:
         cond = threading.Condition()
         results: dict = {}          # batch index -> collated batch
-        errors: list = []
+        errors: dict = {}           # batch index -> exception
         stop = threading.Event()
         next_to_load = [0]
         # bounds (in-flight + done-but-unconsumed) batches
         budget = threading.Semaphore(max(self.prefetch, self.num_workers))
+        n_workers = min(self.num_workers, len(batches))
+        alive = [n_workers]
 
         def worker():
-            while not stop.is_set():
-                budget.acquire()
-                if stop.is_set():
-                    return
-                with cond:
-                    i = next_to_load[0]
-                    if i >= len(batches):
+            try:
+                while not stop.is_set():
+                    budget.acquire()
+                    if stop.is_set():
                         return
-                    next_to_load[0] += 1
-                try:
-                    item = _collate([self.dataset[j] for j in batches[i]])
-                except BaseException as e:  # surface worker failures
                     with cond:
-                        errors.append(e)
+                        i = next_to_load[0]
+                        if i >= len(batches):
+                            return
+                        next_to_load[0] += 1
+                    try:
+                        item = _collate([self.dataset[j] for j in batches[i]])
+                    except BaseException as e:  # surface worker failures
+                        with cond:
+                            errors[i] = e
+                            cond.notify_all()
+                        return
+                    with cond:
+                        results[i] = item
                         cond.notify_all()
-                    return
+            finally:
                 with cond:
-                    results[i] = item
+                    alive[0] -= 1
                     cond.notify_all()
 
         threads = [
             threading.Thread(target=worker, daemon=True)
-            for _ in range(min(self.num_workers, len(batches)))
+            for _ in range(n_workers)
         ]
         for t in threads:
             t.start()
         try:
             for i in range(len(batches)):
+                # order-faithful fail-fast: every batch that PRECEDES a
+                # failure in sampler order still flows out (other workers
+                # keep loading them); the error surfaces exactly at the
+                # batch index that failed
                 with cond:
-                    while i not in results and not errors:
+                    while (i not in results and i not in errors
+                           and alive[0] > 0):
                         cond.wait(timeout=0.5)
-                    if errors:
-                        raise errors[0]
-                    item = results.pop(i)
+                    if i in results:
+                        item = results.pop(i)
+                    elif i in errors:
+                        raise errors[i]
+                    else:  # all workers exited before claiming batch i
+                        raise (errors[min(errors)] if errors else
+                               RuntimeError("loader workers exited "
+                                            "unexpectedly"))
                 budget.release()
                 yield item
         finally:

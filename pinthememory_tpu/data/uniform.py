@@ -105,15 +105,21 @@ def build_epoch(
     if class_uniform_pct <= 0:
         return list(items)
     num_epoch = len(items)
-    num_rand = int((1 - class_uniform_pct) * num_epoch)
-    num_per_class = int(class_uniform_pct * num_epoch / num_classes)
+    # reference arithmetic (uniform.py:283-285): the rounding remainder goes
+    # to the random pool, so the epoch length is EXACTLY len(items)
+    num_per_class = int((num_epoch * class_uniform_pct) / num_classes)
+    num_rand = num_epoch - num_per_class * num_classes
 
-    idx = rng.permutation(len(items))[:num_rand]
-    epoch = [items[i] for i in idx]
+    # random_sampling (uniform.py:255-269): shuffle once, then cycle --
+    # sampling without replacement until the pool is exhausted
+    def cycle_sample(pool, num):
+        order = rng.permutation(len(pool))
+        return [pool[order[i % len(pool)]] for i in range(num)]
+
+    epoch = cycle_sample(items, num_rand)
     for c in range(num_classes):
         pool = centroids.get(c, [])
         if not pool:
             continue
-        take = rng.integers(0, len(pool), size=num_per_class)
-        epoch.extend(pool[i] for i in take)
+        epoch.extend(cycle_sample(pool, num_per_class))
     return epoch

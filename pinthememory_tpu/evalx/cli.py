@@ -202,6 +202,14 @@ def main(argv=None):
     batch_n = max(args.eval_batch, 1) if batched else 1
     mesh = None
     if args.data_parallel and batched:
+        if args.scale_batch:
+            # scale_batch slices the super-batch across shard boundaries,
+            # forcing reshards that defeat data parallelism -- per-device
+            # dispatch amortization comes from eval_batch itself here
+            raise SystemExit(
+                "--data_parallel and --scale_batch are incompatible: "
+                "per-scale chunking would slice across shard boundaries; "
+                "raise --eval_batch (per-device batch) instead")
         from pinthememory_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(jax.devices(), spatial=1)
@@ -216,7 +224,15 @@ def main(argv=None):
         if batched and len(group) > 1:
             raws = (raws_dev if raws_dev is not None
                     else np.stack([g[0] for g in group]))
-            preds = ev.predict_batch_device(raws)
+            if (mesh is not None and hasattr(ev, "predict_batch_sharded")
+                    and len(group) % mesh.shape["data"] == 0):
+                preds = ev.predict_batch_sharded(raws, mesh)
+            else:
+                if mesh is not None:
+                    print(f"warning: group of {len(group)} not divisible by "
+                          f"data axis {mesh.shape['data']}; running "
+                          "single-device for this group")
+                preds = ev.predict_batch_device(raws)
             gts = jnp.asarray(np.stack([g[1] for g in group]))
             hist = hist_update(hist, preds, gts)
         else:

@@ -238,13 +238,14 @@ class SlidingEvaluator:
         """
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        raws = np.asarray(raw_imgs)
-        n = raws.shape[0]
+        n = raw_imgs.shape[0]
         ndev = int(np.prod([mesh.shape[a] for a in ("data",) if a in mesh.shape]))
         assert n % ndev == 0, f"batch {n} not divisible by data axis {ndev}"
         sharding = NamedSharding(mesh, P("data"))
-        dev = jax.device_put(raws, sharding)
-        img_h, img_w = raws.shape[1:3]
+        # already-uploaded shards (evalx.cli's async lag-one upload) pass
+        # through; device_put with an equal sharding is a no-op
+        dev = jax.device_put(raw_imgs, sharding)
+        img_h, img_w = raw_imgs.shape[1:3]
         acc = None
         for scale in self.scales:
             run = self._batch_program(n, img_h, img_w, scale)

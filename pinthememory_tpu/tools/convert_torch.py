@@ -179,11 +179,27 @@ def convert_state_dict(
     return params, stats, m_items, report
 
 
-def load_reference_checkpoint(path: str, three_stem: bool = False):
-    """Load a released ``.pth`` (payload: utils/misc.py:206-216)."""
+def _torch_load_safe(path: str):
+    """torch.load preferring ``weights_only=True`` (no arbitrary pickle code
+    execution from an untrusted .pth); falls back to unsafe loading only for
+    legacy checkpoints whose payload contains non-tensor objects, with a
+    loud warning."""
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        return torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        import warnings
+
+        warnings.warn(
+            f"{path}: weights_only load failed; falling back to full pickle "
+            "loading -- only do this for checkpoints you trust")
+        return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def load_reference_checkpoint(path: str, three_stem: bool = False):
+    """Load a released ``.pth`` (payload: utils/misc.py:206-216)."""
+    ckpt = _torch_load_safe(path)
     state_dict = ckpt.get("state_dict", ckpt)
     state_dict = {k: v.numpy() for k, v in state_dict.items() if hasattr(v, "numpy")}
     memory = ckpt.get("memory")
@@ -231,9 +247,7 @@ def convert_torchvision_trunk(
 def load_imagenet_trunk(path: str, variables: dict) -> tuple[dict, ConversionReport]:
     """Load a torchvision ResNet ImageNet ``.pth`` into the backbone of
     ``variables`` with forgiving-restore semantics (Resnet.py:499-559)."""
-    import torch
-
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    ckpt = _torch_load_safe(path)
     state_dict = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
     state_dict = {k: v.numpy() for k, v in state_dict.items() if hasattr(v, "numpy")}
     params, stats, report = convert_torchvision_trunk(state_dict)

@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cv", type=int, default=0)
     p.add_argument("--class_uniform_pct", type=float, default=0.0)
     p.add_argument("--class_uniform_tile", type=int, default=1024)
+    p.add_argument("--max_cu_epoch", type=int, default=10000,
+                   help="class-uniform cut epoch (train.py:1136): from this "
+                        "epoch on, build_epoch(cut=True) uses fine images/"
+                        "centroids only")
     p.add_argument("--crop_size", type=int, default=768)
     p.add_argument("--pre_size", type=int, default=None)
     p.add_argument("--scale_min", type=float, default=0.5)
@@ -202,6 +206,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             covstat_val_dataset=tuple(args.covstat_val_dataset),
             cv=args.cv, class_uniform_pct=args.class_uniform_pct,
             class_uniform_tile=args.class_uniform_tile,
+            max_cu_epoch=args.max_cu_epoch,
             scale_min=args.scale_min, scale_max=args.scale_max,
             crop_nopad=args.crop_nopad, city_mode=args.city_mode,
             pre_size=args.pre_size, color_aug=args.color_aug,
@@ -408,8 +413,12 @@ class Trainer:
                         jnp.asarray(img_color)[None], jnp.asarray(img_or)[None])
                     for l, v in zip(isw_layers, vs):
                         l.set_variance_of_covariance(np.asarray(v))
-            for l in isw_layers:
-                l.set_mask_matrix()
+                # reference cadence: masks update after EACH covstat dataset
+                # within a trial (train.py:171-175), not once per trial --
+                # identical for single-dataset configs, but the mask
+                # intersection count differs for multi-dataset covstat
+                for l in isw_layers:
+                    l.set_mask_matrix()
         self.log.info("ISW covariance masks set "
                       f"({[int(l.num_sensitive) for l in isw_layers]} sensitive)")
         # covariance-mask images (reference TB images, train.py:977-987)
@@ -434,6 +443,12 @@ class Trainer:
             return
         from pinthememory_tpu.data.uniform import build_centroids, build_epoch
 
+        # reference cut: from max_cu_epoch on, only fine images/centroids
+        # feed the class-uniform mix, and the epoch shrinks to len(imgs)
+        # (train.py:178-183 + cityscapes.py:440-457; the sampler length
+        # follows automatically -- ShardedSampler sizes itself per epoch,
+        # the reference needed an explicit sampler.set_num_samples())
+        cut = self.epoch >= cfg.data.max_cu_epoch
         datasets = getattr(self.train_loader.dataset, "datasets",
                            [self.train_loader.dataset])
         for di, ds in enumerate(datasets):
@@ -444,8 +459,22 @@ class Trainer:
                 ds._centroids = build_centroids(
                     ds.imgs, ds.decode_mask,
                     tile_size=cfg.data.class_uniform_tile, cache_path=cache)
+            aug = list(getattr(ds, "aug_imgs", ()) or ())
+            if aug and not cut and not hasattr(ds, "_centroids_aug"):
+                cache = os.path.join(self.log.exp_dir,
+                                     f"centroids_{di}_aug.json")
+                ds._centroids_aug = build_centroids(
+                    aug, ds.decode_mask,
+                    tile_size=cfg.data.class_uniform_tile, cache_path=cache)
+            if cut or not aug:
+                items, cents = ds.imgs, ds._centroids
+            else:
+                items = list(ds.imgs) + aug
+                cents = {c: ds._centroids.get(c, [])
+                         + ds._centroids_aug.get(c, [])
+                         for c in range(19)}
             ds.imgs_uniform = build_epoch(
-                ds.imgs, ds._centroids, 19, cfg.data.class_uniform_pct,
+                items, cents, 19, cfg.data.class_uniform_pct,
                 np.random.default_rng((cfg.train.seed, self.epoch)))
 
     def do_epoch(self) -> bool:
@@ -552,6 +581,20 @@ class Trainer:
                     os.path.join(out, f"b{b}_d{d}_mask.png"))
         self.log.info(f"augmentation dump written to {out}")
 
+    @staticmethod
+    def _global_hist(hist):
+        """Sum the confusion matrix across hosts before mIoU/best-checkpoint
+        decisions (train.py:927-929 all-reduces the IoU hist).  The val
+        loaders are host-sharded (ShardedSampler), so each process holds a
+        partial hist; without this reduction multi-host mIoU -- and the
+        best-checkpoint choice -- would be per-process.  Single-process:
+        identity."""
+        if jax.process_count() == 1:
+            return hist
+        from jax.experimental import multihost_utils
+
+        return jnp.sum(multihost_utils.process_allgather(hist), axis=0)
+
     def validate(self, max_batches: int | None = None):
         """Whole-image validation on each val loader (train.py:847-939)."""
         from pinthememory_tpu.core.metrics import confusion_matrix, mean_iu
@@ -574,6 +617,7 @@ class Trainer:
                 if max_batches and bi + 1 >= max_batches:
                     break
             if hist is not None:
+                hist = self._global_hist(hist)
                 results[name] = mean_iu(hist)
                 self.log.info(f"val {name}: mIoU {results[name] * 100:.2f}")
                 self.ckpt_mgr.maybe_save_best(self.state, name, self.epoch, results[name])

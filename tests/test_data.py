@@ -118,8 +118,56 @@ def test_class_centroids_and_build_epoch():
     items = [(f"img{i}", f"mask{i}") for i in range(100)]
     centroids = {c: [(f"img0", "mask0", (1, 1), c)] for c in range(19)}
     epoch = build_epoch(items, centroids, 19, 0.5, np.random.default_rng(0))
-    assert len(epoch) >= 50
-    assert any(len(e) == 4 for e in epoch)
+    # reference arithmetic (uniform.py:283-285): num_per_class =
+    # int(100*0.5/19) = 2, num_rand = 100 - 38 = 62 -> the epoch length is
+    # EXACTLY len(items)
+    assert len(epoch) == 100
+    assert sum(len(e) == 4 for e in epoch) == 2 * 19
+    assert sum(len(e) == 2 for e in epoch) == 62
+
+
+def test_max_cu_epoch_cut_switches_composition(tmp_path):
+    """The class-uniform cut (train.py:178-183 + cityscapes.py:440-457):
+    before max_cu_epoch the epoch mixes fine+aug images with merged
+    centroids; from the cut epoch on, only fine images/centroids remain and
+    the epoch length shrinks to len(imgs) -- the sampler length follows."""
+    import types
+
+    from pinthememory_tpu.train.cli import Trainer
+
+    root = tmp_path / "tiny"
+    root.mkdir()
+    ds = _TinyDisk(str(root), n=6)
+    ds.aug_imgs = ds.imgs[4:]       # 2 "coarse" images
+    ds.imgs = ds.imgs[:4]           # 4 fine images
+
+    cfg = Config(
+        data=DataConfig(class_uniform_pct=0.5, class_uniform_tile=64,
+                        max_cu_epoch=2),
+        train=TrainConfig(seed=0),
+    )
+    loader = DataLoader(ds, batch_size=1,
+                        sampler=ShardedSampler(ds, shuffle=False),
+                        num_workers=1, drop_last=False)
+
+    t = Trainer.__new__(Trainer)   # only the epoch-build path is exercised
+    t.cfg = cfg
+    t.train_loader = loader
+    t.log = types.SimpleNamespace(exp_dir=str(tmp_path))
+
+    t.epoch = 0
+    t._build_uniform_epoch()
+    assert len(ds.imgs_uniform) == 6      # fine + aug
+    pre_cut_paths = {e[0] for e in ds.imgs_uniform}
+
+    t.epoch = 2                            # >= max_cu_epoch -> cut
+    t._build_uniform_epoch()
+    assert len(ds.imgs_uniform) == 4      # fine only
+    aug_paths = {p for p, _ in ds.aug_imgs}
+    assert not aug_paths & {e[0] for e in ds.imgs_uniform}
+    assert len(loader) == 4                # sampler length follows
+    # sanity: aug images were eligible before the cut
+    assert pre_cut_paths - {e[0] for e in ds.imgs_uniform} <= aug_paths | pre_cut_paths
 
 
 # -- meta-test hard augmentation wiring (train.py:199-211) -------------------
@@ -281,8 +329,13 @@ def test_loader_worker_errors_propagate():
     loader = DataLoader(Boom(n=16, delay=0.0), batch_size=4, num_workers=3)
     import pytest
 
+    # order-faithful fail-fast: index 11 lives in batch 2, so batches 0 and
+    # 1 must be YIELDED before the error surfaces at batch 2
+    got = []
     with pytest.raises(RuntimeError, match="decode failed"):
-        list(loader)
+        for b in loader:
+            got.append(b)
+    assert len(got) == 2, len(got)
 
 
 def test_build_centroids_parallel_matches_serial(tmp_path):
