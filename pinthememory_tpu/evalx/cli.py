@@ -48,6 +48,12 @@ def build_parser():
                    help="merge tiles at decoder resolution and upsample once "
                         "per image (NOT the reference protocol near tile "
                         "seams; see PARITY.md)")
+    p.add_argument("--merge_count", default="reference",
+                   choices=["reference", "uniform"],
+                   help="'reference' reproduces eval.py:215-228's count-"
+                        "indexing bug (released numbers include it); "
+                        "'uniform' is the intended overlap average "
+                        "(PARITY.md)")
     p.add_argument("--test_mode", action="store_true")
     p.add_argument("--split", type=str, default="val",
                    help="dataset split to evaluate (eval.py:80)")
@@ -138,7 +144,7 @@ def main(argv=None):
             apply_fn, scales=scales, flip=not args.no_flip,
             crop_size=args.crop_size, overlap=args.sliding_overlap,
             apply_low_fn=apply_low_fn if args.fast_merge else None,
-            scale_batch=scale_batch)
+            scale_batch=scale_batch, count_mode=args.merge_count)
     else:
         ev = PoolingEvaluator(apply_fn, scales=scales, flip=not args.no_flip)
 

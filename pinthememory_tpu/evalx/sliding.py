@@ -9,7 +9,10 @@ structure:
     normalize (ImageNet mean/std)
     tiles   = overlap grid of (crop*max(s,1))^2 crops
     logits  = model(tile)[main_out]  (raw logits, NOT softmax)
-    merged  = overlap-averaged logits at (H*s, W*s)
+    merged  = overlap-summed logits at (H*s, W*s), divided by the
+              reference's (buggy) class/row count map -- see
+              tiling.reference_count_map; count_mode='uniform' opts into
+              the intended overlap average instead
     for the flipped copy: flip back
     out_s   = mean over flips of cv2-INTER_LINEAR resize to (H, W)
   prediction = argmax(mean over scales of out_s)
@@ -33,6 +36,7 @@ from pinthememory_tpu.evalx.tiling import (
     compute_grid,
     extract_tiles,
     merge_tiles_segments,
+    reference_count_map,
 )
 from pinthememory_tpu.ops.resize import (
     resize_bilinear_align_corners,
@@ -71,6 +75,7 @@ class SlidingEvaluator:
         tile_batch: int = 0,
         apply_low_fn: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
         scale_batch: dict | None = None,
+        count_mode: str = "reference",
     ):
         self.apply_fn = apply_fn
         self.num_classes = num_classes
@@ -79,6 +84,12 @@ class SlidingEvaluator:
         self.scales = tuple(scales)
         self.flip = flip
         self.tile_batch = tile_batch
+        # "reference" reproduces eval.py's count-indexing bug bit-for-bit
+        # (count_predictions[y1:y2, x1:x2] on a (C, H, W) array -- see
+        # tiling.reference_count_map); released mIoU numbers include it.
+        # "uniform" is the intended per-pixel overlap average (PARITY.md).
+        assert count_mode in ("reference", "uniform"), count_mode
+        self.count_mode = count_mode
         # per-scale image-batch cap for predict_batch_device: small-scale
         # programs are dispatch-bound (few tiny tiles) and want MORE images
         # per program, while scale-2.0 is HBM-bound and wants FEW; e.g.
@@ -89,7 +100,9 @@ class SlidingEvaluator:
         # (dec2, OS4 for the D16 heads); tiles merge at decoder resolution
         # and upsample once per image.  NOT the reference protocol: per-tile
         # align-corners upsample != upsample of the merged map near tile
-        # seams (interior pixels match exactly) -- opt-in, see PARITY.md.
+        # seams (interior pixels match exactly), and it always uses the
+        # intended uniform overlap average (never the reference count bug)
+        # -- opt-in, see PARITY.md.
         self.apply_low_fn = apply_low_fn
         self._programs: dict = {}
 
@@ -153,6 +166,17 @@ class SlidingEvaluator:
             self._programs[key] = run_fast
             return run_fast
 
+        if self.count_mode == "reference":
+            # eval.py:215-228's buggy divisor, class/row-dependent, constant
+            # over W -- it commutes with the LR flip and the W resize, so
+            # dividing the flip-mean once is bit-equivalent to the
+            # reference's per-flip division
+            div = jnp.asarray(reference_count_map(grid, self.num_classes))
+            merge = lambda t: merge_tiles_segments(t, grid, divide=False)
+        else:
+            div = None
+            merge = lambda t: merge_tiles_segments(t, grid)
+
         @jax.jit
         def run(raw_img: jnp.ndarray):
             # raw_img: (H, W, 3) uint8/float [0..255] original resolution.
@@ -165,11 +189,13 @@ class SlidingEvaluator:
                 tiles_f = extract_tiles(img[:, ::-1, :], grid)
                 logits = self.apply_fn(jnp.concatenate([tiles, tiles_f], axis=0))
                 lo, lf = jnp.split(logits, 2, axis=0)
-                merged = merge_tiles_segments(lo, grid)
-                merged_f = merge_tiles_segments(lf, grid)[:, ::-1, :]
+                merged = merge(lo)
+                merged_f = merge(lf)[:, ::-1, :]
                 merged = 0.5 * (merged + merged_f)
             else:
-                merged = merge_tiles_segments(self.apply_fn(tiles), grid)
+                merged = merge(self.apply_fn(tiles))
+            if div is not None:
+                merged = merged / div
             return resize_bilinear_half_pixel(merged, (img_h, img_w))
 
         self._programs[key] = run

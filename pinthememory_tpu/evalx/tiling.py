@@ -126,10 +126,44 @@ def _axis_segments(starts: list[int], tile: int, size: int):
     return segs
 
 
+def reference_count_map(grid: TileGrid, num_classes: int) -> np.ndarray:
+    """(H, 1, C) divisor replicating the reference's count indexing BUG
+    (eval.py:215-228).
+
+    The reference allocates ``count_predictions`` with shape (C, H, W) but
+    increments ``count_predictions[y1:y2, x1:x2]`` -- the CLASS and HEIGHT
+    dims -- while accumulating probs at ``[:, y1:y2, x1:x2]``.  The divisor
+    that reaches ``full_probs / count_predictions`` is therefore class- and
+    row-dependent: ``count[c, r] = #tiles with y1 <= c < y2 AND x1 <= r < x2``
+    (tile X coordinates applied to ROW indices, clamped by numpy slicing).
+
+    Consequences (and why released mIoU numbers include this):
+      - for the shipped protocol (stride > num_classes, so only y1 == 0
+        tiles reach any class index) the divisor is class-uniform -> the
+        PER-SCALE argmax is unchanged;
+      - but each row is scaled by a grid-dependent factor, so the
+        multi-scale mean is row-REWEIGHTED relative to the intended average;
+      - rows not covered by any tile's x-range (portrait images, h > w)
+        divide by zero -> inf, exactly as the reference's float64 division.
+
+    Returned broadcastable against the (H, W, C) merged map.  Pass
+    ``count_mode='uniform'`` to SlidingEvaluator for the intended
+    overlap-average instead (see PARITY.md).
+    """
+    cnt = np.zeros((num_classes, grid.img_h), np.float32)
+    for (y1, x1) in grid.coords:
+        cnt[y1 : y1 + grid.tile_h, x1 : x1 + grid.tile_w] += 1.0
+    return cnt.T[:, None, :]  # (H, 1, C)
+
+
 def merge_tiles_segments(
-    tiles: jnp.ndarray, grid: TileGrid, accum_dtype=jnp.float32
+    tiles: jnp.ndarray, grid: TileGrid, accum_dtype=jnp.float32,
+    divide: bool = True,
 ) -> jnp.ndarray:
     """Overlap-average merge via static segment gathers.
+
+    With ``divide=False`` the per-pixel overlap SUM is returned instead
+    (callers divide by their own count semantics, e.g. reference_count_map).
 
     Bit-identical to :func:`merge_tiles` (same f32 sum, divided by the same
     per-pixel count value), but reads each tile element exactly ONCE and
@@ -162,7 +196,7 @@ def merge_tiles_segments(
                     total = (t.astype(accum_dtype) if total is None
                              else total + t.astype(accum_dtype))
                     count += 1
-            row.append(total / count)
+            row.append(total / count if divide else total)
         rows.append(jnp.concatenate(row, axis=1) if len(row) > 1 else row[0])
     out = jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
     assert out.shape == (grid.img_h, grid.img_w, c)

@@ -93,6 +93,35 @@ def capture(what: str, bs: int, crop: int, logdir: str, steps: int = 3):
         def run():
             val, _ = g(state.params)
             return float(val)
+    elif what == "eval":
+        # eval-mode forward (the per-tile program of the sliding protocol) --
+        # the 25%-MFU ceiling the train episode inherits (BASELINE.md 6b)
+        x = jnp.asarray(rng.standard_normal((bs, hw, hw, 3)), jnp.float32)
+        eval_vars = {"params": state.params, "batch_stats": state.batch_stats}
+        fwd = jax.jit(lambda img: model.apply(
+            eval_vars, img, None, state.m_items,
+            train=False, with_aux=False)["main_out"])
+
+        def run():
+            return float(jnp.sum(fwd(x)))
+    elif what == "evalscale":
+        # one full per-scale sliding program (resize+tile+model+merge) on a
+        # 2048x1024 image; --bs is the image batch, --crop the tile size
+        from pinthememory_tpu.evalx.sliding import SlidingEvaluator
+
+        eval_vars = {"params": state.params, "batch_stats": state.batch_stats}
+
+        def apply_fn(tiles):
+            return model.apply(eval_vars, tiles, None, state.m_items,
+                               train=False, with_aux=False)["main_out"]
+
+        ev = SlidingEvaluator(apply_fn, crop_size=hw, overlap=1 / 3,
+                              scales=(0.5, 1.0, 2.0), flip=True)
+        raws = jnp.asarray(
+            rng.integers(0, 255, (bs, 1024, 2048, 3)), jnp.uint8)
+
+        def run():
+            return int(jnp.sum(ev.predict_batch_device(raws)))
     else:
         raise SystemExit(f"unknown --what: {what}")
 

@@ -493,28 +493,52 @@ class Trainer:
                     or self.epoch > cfg.model.whitening.cov_stat_epoch)
 
         t_iter = time.time()
-        for i, batch in enumerate(self.train_loader):
-            step_no = int(self.state.step)
+        # one device sync per epoch; the in-loop counter is mirrored on the
+        # host (int(self.state.step) per iteration would BLOCK on the
+        # previous step's output and serialize the upload/compute pipeline)
+        step_no = int(self.state.step)
+
+        def prepared_batches():
+            """Lag-one device prefetch (the evalx.cli pattern,
+            cli.py:251-267): batch i+1's host->device upload is ISSUED
+            (jax.device_put returns without waiting) before batch i is
+            consumed, so the transfer rides under the step's compute instead
+            of serializing with it.  rng/meta-split draws stay in batch
+            order, so the data stream is unchanged."""
+            pending = None
+            for batch in self.train_loader:
+                self.rng, sub = jax.random.split(self.rng)
+                np_batch = {k: v for k, v in batch.items() if k != "names"}
+                mldg_now = cfg.train.mldg and self.num_domains > 1
+                tr = te = None
+                if mldg_now:
+                    tr, te = meta_split(self.np_rng, self.num_domains)
+                    # meta_aug_episode: pick the hard-augmented photometric
+                    # version for the episode's meta-test domains
+                    np_batch["image"] = select_meta_images(np_batch["image"], te)
+                if np_batch["image"].ndim == 4:  # single domain -> add D axis
+                    np_batch = {k: v[:, None] for k, v in np_batch.items()}
+                jbatch = {k: jax.device_put(np.ascontiguousarray(v))
+                          for k, v in np_batch.items()}
+                item = (batch, jbatch, sub, mldg_now, tr, te)
+                if pending is not None:
+                    yield pending
+                pending = item
+            if pending is not None:
+                yield pending
+
+        for i, (batch, jbatch, sub, mldg_now, tr, te) in enumerate(
+                prepared_batches()):
             if step_no >= cfg.train.max_iter:
                 return False
+            step_no += 1
             if self.profile_dir and self.epoch == 0 and i == 10:
                 jax.profiler.start_trace(self.profile_dir)
             if self.profile_dir and self.epoch == 0 and i == 20:
                 jax.profiler.stop_trace()
                 self.log.info(f"profiler trace written to {self.profile_dir}")
-            self.rng, sub = jax.random.split(self.rng)
             if self.dump_aug and self.epoch == 0 and i == 0:
                 self._dump_augmentation(batch)
-            np_batch = {k: v for k, v in batch.items() if k != "names"}
-            mldg_now = cfg.train.mldg and self.num_domains > 1
-            if mldg_now:
-                tr, te = meta_split(self.np_rng, self.num_domains)
-                # meta_aug_episode: pick the hard-augmented photometric
-                # version for the episode's meta-test domains
-                np_batch["image"] = select_meta_images(np_batch["image"], te)
-            jbatch = {k: jnp.asarray(v) for k, v in np_batch.items()}
-            if jbatch["image"].ndim == 4:  # single domain -> add D axis
-                jbatch = {k: v[:, None] for k, v in jbatch.items()}
 
             if mldg_now:
                 self.state, metrics = self.step_mldg(
@@ -532,22 +556,23 @@ class Trainer:
                 log_metrics = dict(metrics)
 
             if cfg.train.inner_lr_anneal:
-                # inner_lr tracks lr/4 (train.py:625-626)
-                self.inner_lr = float(self.lr_fn(int(self.state.step))) / 4
+                # inner_lr tracks lr/4 (train.py:625-626); host step mirror
+                # avoids a device sync here
+                self.inner_lr = float(self.lr_fn(step_no)) / 4
 
             if i % 50 == 49 or (cfg.train.test_mode and i == 0):
-                lr = float(self.lr_fn(int(self.state.step)))
+                lr = float(self.lr_fn(step_no))
                 loss_now = float(log_metrics.get(
                     "total", log_metrics.get("outer_total", 0.0)))
                 if self.check_nan and not np.isfinite(loss_now):
                     raise FloatingPointError(
-                        f"non-finite loss {loss_now} at step {int(self.state.step)}")
+                        f"non-finite loss {loss_now} at step {step_no}")
                 ms = (time.time() - t_iter) / (i + 1) * 1000
                 self.log.info(
                     f"[epoch {self.epoch}] [it {i + 1}/{len(self.train_loader)} "
-                    f": {int(self.state.step)}] "
+                    f": {step_no}] "
                     f"[loss {loss_now:.6f}] [lr {lr:.6f}] [time {ms:.0f} ms/it]")
-                self.log.scalars(int(self.state.step), log_metrics)
+                self.log.scalars(step_no, log_metrics)
 
             if cfg.train.test_mode and i > 5:
                 return False

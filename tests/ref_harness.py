@@ -171,6 +171,15 @@ def reference_env():
     torch.cuda.set_device = lambda *a, **k: None
     torch.distributed.init_process_group = lambda *a, **k: None
     torch.cuda.empty_cache = lambda: None
+    # numpy>=1.24 removed the deprecated builtin aliases the reference uses
+    # (eval.py:228 divides by counts.astype(np.float)); the alias WAS the
+    # builtin, so restoring it preserves the oracle's numerics exactly
+    np_aliases = {}
+    for name, builtin in (("float", float), ("int", int), ("bool", bool),
+                          ("object", object)):
+        if not hasattr(np, name):
+            np_aliases[name] = builtin
+            setattr(np, name, builtin)
     try:
         yield
     finally:
@@ -178,6 +187,8 @@ def reference_env():
         torch.cuda.set_device = set_device
         torch.distributed.init_process_group = init_pg
         torch.cuda.empty_cache = empty_cache
+        for name in np_aliases:
+            delattr(np, name)
 
 
 def import_reference_eval(argv: list[str]):

@@ -85,15 +85,35 @@ def _identity_apply(tiles):
 
 
 def test_sliding_evaluator_scale1_identity():
+    """count_mode='uniform' (the INTENDED average): merging identical values
+    reconstructs the input exactly.  The default 'reference' mode instead
+    reproduces eval.py's count-indexing bug -- gated end-to-end against the
+    real reference code in test_parity_eval_protocol.py."""
     rng = np.random.default_rng(1)
     raw = rng.integers(0, 255, (96, 128, 3), dtype=np.uint8)
     ev = SlidingEvaluator(_identity_apply, crop_size=64, overlap=0.25,
-                          scales=(1.0,), flip=True)
+                          scales=(1.0,), flip=True, count_mode="uniform")
     logits = np.asarray(ev.predict_logits(raw))
     expect = np.asarray(normalize_image(jnp.asarray(raw)))[..., 0]
     np.testing.assert_allclose(logits[..., 0], expect, rtol=1e-4, atol=1e-4)
     # all 19 channels identical -> argmax ties resolve to 0
     assert (np.asarray(ev.predict(raw)) == 0).all()
+
+
+def test_reference_count_map_semantics():
+    """Pin the reproduced count bug's shape directly: counts depend on the
+    class index through y-starts and on the ROW index through x-starts
+    (eval.py:215-228)."""
+    from pinthememory_tpu.evalx.tiling import reference_count_map
+
+    g = compute_grid(96, 160, 64, 1.0, 1 / 3)  # y starts {0,32}, x {0,43,86,96}
+    cnt = reference_count_map(g, 19)           # (H, 1, C)
+    assert cnt.shape == (96, 1, 19)
+    # only y1=0 tiles cover class indices (stride 43 > 19): class-uniform
+    assert (cnt == cnt[:, :, :1]).all()
+    # row r counts x-ranges covering r: r=0 -> only x1=0; r=50 -> x1 in {0,43}
+    assert cnt[0, 0, 0] == 1.0
+    assert cnt[50, 0, 0] == 2.0
 
 
 def test_sliding_evaluator_multiscale_shapes():
