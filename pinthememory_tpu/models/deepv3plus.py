@@ -17,7 +17,12 @@ import jax
 import jax.numpy as jnp
 
 from pinthememory_tpu.models.aspp import ASPP
-from pinthememory_tpu.models.layers import batch_norm, conv2d
+from pinthememory_tpu.models.layers import (
+    ConcatSplitConv3x3,
+    batch_norm,
+    conv2d,
+    use_split_concat,
+)
 from pinthememory_tpu.models.memory import MemoryModule
 from pinthememory_tpu.models import resnet as resnet_lib
 from pinthememory_tpu.ops.resize import resize_bilinear_align_corners
@@ -121,7 +126,16 @@ class DeepV3Plus(nn.Module):
         if self.use_skip:
             self.bot_fine_conv = conv2d(self.skip_num, 1, dtype=self.dtype, name="bot_fine_conv")
             self.bot_fine_bn = batch_norm(self.dtype, name="bot_fine_bn")
-        self.final1_conv1 = conv2d(256, 3, 1, 1, dtype=self.dtype, name="final1_conv1")
+        if self.use_skip and use_split_concat():
+            # conv(concat(fine, up)) as split convs: exact math, no
+            # 304-channel tile-misaligned concat materialization (~17% of
+            # the eval forward in pad/copy traffic; see ConcatSplitConv3x3)
+            self.final1_conv1 = ConcatSplitConv3x3(
+                features=256, split=self.skip_num,
+                total_in=self.skip_num + 256, dtype=self.dtype,
+                name="final1_conv1")
+        else:
+            self.final1_conv1 = conv2d(256, 3, 1, 1, dtype=self.dtype, name="final1_conv1")
         self.final1_bn1 = batch_norm(self.dtype, name="final1_bn1")
         self.final1_conv2 = conv2d(256, 3, 1, 1, dtype=self.dtype, name="final1_conv2")
         self.final1_bn2 = batch_norm(self.dtype, name="final1_bn2")
@@ -195,11 +209,15 @@ class DeepV3Plus(nn.Module):
             fine = self.bot_fine_bn(self.bot_fine_conv(low), use_running_average=not train)
             fine = nn.relu(fine)
             up = resize_bilinear_align_corners(dec0_up, low.shape[1:3])
-            dec0 = jnp.concatenate([fine, up], axis=-1)
+            if isinstance(self.final1_conv1, ConcatSplitConv3x3):
+                dec1_pre = self.final1_conv1(fine, up)
+            else:
+                dec1_pre = self.final1_conv1(
+                    jnp.concatenate([fine, up], axis=-1))
         else:
-            dec0 = dec0_up
+            dec1_pre = self.final1_conv1(dec0_up)
 
-        dec1 = nn.relu(self.final1_bn1(self.final1_conv1(dec0), use_running_average=not train))
+        dec1 = nn.relu(self.final1_bn1(dec1_pre, use_running_average=not train))
         dec1 = nn.relu(self.final1_bn2(self.final1_conv2(dec1), use_running_average=not train))
         dec2 = self.final2_conv(dec1)
         # logits keep the model compute dtype; losses/eval merges upcast at

@@ -80,6 +80,58 @@ class ShiftedDilatedConv3x3(nn.Module):
         return out.astype(x.dtype)
 
 
+class ConcatSplitConv3x3(nn.Module):
+    """``conv(concat(a, b))`` computed as ``conv_a(a) + conv_b(b)``.
+
+    Convolution is linear in input channels, so splitting the kernel along
+    the channel axis is exact.  The win is layout traffic: the decoder's
+    concat (48 fine + 256 aspp = 304 channels, deepv3plus.py:571-575) is
+    tile-misaligned on TPU (304 = 2.375 x 128) and xprof shows XLA
+    materializing it through a pad + two full copies -- ~17% of the
+    768^2-bs4 eval forward's device time for zero FLOPs -- while the 48-
+    and 256-channel halves convolve from their producers directly.
+
+    The parameter tree ("kernel" (3,3,Ca+Cb,F)) matches ``nn.Conv`` on the
+    concatenated input exactly, so checkpoints, the torch converter, and
+    parity tests are unaffected.  Both halves accumulate in f32 like the
+    fused conv.  Set ``PINMEM_XLA_CONCAT=1`` to fall back to concat+conv.
+    """
+
+    features: int
+    split: int                   # channels of the first input (Ca)
+    total_in: int                # Ca + Cb (fixes the param shape at init)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        assert a.shape[-1] == self.split, (a.shape, self.split)
+        assert a.shape[-1] + b.shape[-1] == self.total_in
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, self.total_in, self.features))
+        a, b, kernel = nn.dtypes.promote_dtype(a, b, kernel, dtype=self.dtype)
+        dn = ("NHWC", "HWIO", "NHWC")
+        ya = jax.lax.conv_general_dilated(
+            a, kernel[:, :, : self.split], (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=dn, preferred_element_type=jnp.float32)
+        yb = jax.lax.conv_general_dilated(
+            b, kernel[:, :, self.split :], (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=dn, preferred_element_type=jnp.float32)
+        return (ya + yb).astype(a.dtype)
+
+
+_SPLIT_CONCAT = None
+
+
+def use_split_concat() -> bool:
+    global _SPLIT_CONCAT
+    if _SPLIT_CONCAT is None:
+        import os
+
+        _SPLIT_CONCAT = os.environ.get("PINMEM_XLA_CONCAT", "0") != "1"
+    return _SPLIT_CONCAT
+
+
 _XLA_DILATED = None  # resolved lazily so tests can monkeypatch the env
 
 

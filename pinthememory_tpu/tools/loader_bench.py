@@ -66,7 +66,8 @@ def write_fixtures(root: str, n: int, h: int, w: int, seed: int = 0):
     return items
 
 
-def bench(items, crop: int, batch_size: int, workers: int, epochs: int = 2):
+def bench(items, crop: int, batch_size: int, workers: int, epochs: int = 2,
+          processes: bool = False):
     ds = _FixtureDataset(items, seed=0)
     ds.joint_transform = jt.build_train_joint_transform(
         crop, crop_nopad=False, pre_size=None,
@@ -74,7 +75,8 @@ def bench(items, crop: int, batch_size: int, workers: int, epochs: int = 2):
     ds.input_transform = xt.build_train_input_transform(0.5, True, False)
     loader = DataLoader(ds, batch_size=batch_size,
                         sampler=ShardedSampler(ds, shuffle=True, seed=0),
-                        num_workers=workers, drop_last=True)
+                        num_workers=workers, drop_last=True,
+                        worker_processes=processes)
     best = float("inf")
     for ep in range(epochs):
         ds.set_epoch(ep)
@@ -107,14 +109,16 @@ def main(argv=None):
 
     results = {}
     for w in (int(x) for x in args.workers.split(",")):
-        ips = bench(items, args.crop, args.batch, w)
-        results[w] = ips
-        print(json.dumps({
-            "metric": f"loader_decode_augment_{args.width}x{args.height}"
-                      f"_crop{args.crop}_w{w}",
-            "value": round(ips, 2),
-            "unit": "images/sec",
-        }))
+        for procs in ((False, True) if w > 1 else (False,)):
+            ips = bench(items, args.crop, args.batch, w, processes=procs)
+            kind = "proc" if procs else "thread"
+            results[(w, kind)] = ips
+            print(json.dumps({
+                "metric": f"loader_decode_augment_{args.width}x{args.height}"
+                          f"_crop{args.crop}_{kind}{w}",
+                "value": round(ips, 2),
+                "unit": "images/sec",
+            }))
     return results
 
 

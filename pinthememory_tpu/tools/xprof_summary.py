@@ -189,7 +189,7 @@ def _print_hlo_stats(data: str, top: int):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--what", default="episode",
-                    choices=["episode", "agg", "fwdbwd"])
+                    choices=["episode", "agg", "fwdbwd", "eval", "evalscale"])
     ap.add_argument("--bs", type=int, default=4)
     ap.add_argument("--crop", type=int, default=768)
     ap.add_argument("--steps", type=int, default=3)

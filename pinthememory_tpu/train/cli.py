@@ -84,6 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--weight_decay", type=float, default=5e-4)
+    p.add_argument("--lr_schedule", type=str, default="poly",
+                   choices=["poly"],
+                   help="reference flag surface (train.py:1091); poly is the "
+                        "only schedule the reference implements")
     p.add_argument("--poly_exp", type=float, default=9.0)
     p.add_argument("--max_iter", type=int, default=120000)
     p.add_argument("--max_epoch", type=int, default=40)
@@ -120,6 +124,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "init (reference: Resnet.py:499-559)")
     p.add_argument("--restore_optimizer", action="store_true")
     p.add_argument("--test_mode", action="store_true")
+    p.add_argument("--snapshot_every", type=int, default=0,
+                   help="save a 'last' checkpoint every N epochs (0 = only "
+                        "at the end, the reference behavior)")
     p.add_argument("--model_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--profile", type=str, default=None,
@@ -200,6 +207,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             mem_clsloss=args.mem_clsloss, img_wt_loss=args.img_wt_loss,
             cls_wt_loss=args.cls_wt_loss, jointwtborder=args.jointwtborder,
             wt_bound=args.wt_bound, test_mode=args.test_mode, seed=args.seed,
+            snapshot_every=args.snapshot_every,
         ),
         data=DataConfig(
             dataset=tuple(args.dataset), val_dataset=tuple(args.val_dataset),
@@ -669,6 +677,11 @@ class Trainer:
                 self.validate_for_cov_stat()
             more = self.do_epoch()
             self.epoch += 1
+            if (cfg.train.snapshot_every
+                    and self.epoch % cfg.train.snapshot_every == 0):
+                # mid-run insurance for preemptible runs (beyond parity --
+                # the reference snapshots only at max_epoch, train.py:186-191)
+                self.ckpt_mgr.save_last(self.state, self.epoch)
             if cfg.train.test_mode:
                 self.validate(max_batches=10)
                 break

@@ -359,3 +359,27 @@ def test_build_centroids_parallel_matches_serial(tmp_path):
     cached = build_centroids(items, decode, tile_size=16, cache_path=cp,
                              num_workers=4)
     assert first == cached == serial
+
+
+def test_process_loader_matches_thread_loader(tmp_path):
+    """Worker-subprocess loading (data/worker.py) must produce exactly the
+    thread loader's stream, in order -- batch content is index-seeded, so
+    worker kind can never change the data (reference parity: torch
+    DataLoader processes, datasets/__init__.py:328)."""
+    root = tmp_path / "p"
+    root.mkdir()
+
+    def make(procs):
+        ds = _TinyDisk(str(root), n=8)
+        return DataLoader(
+            ds, batch_size=2,
+            sampler=ShardedSampler(ds, shuffle=True, seed=3),
+            num_workers=2, drop_last=True, worker_processes=procs)
+
+    a = list(make(False))
+    b = list(make(True))
+    assert len(a) == len(b) == 4
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x["image"], y["image"])
+        np.testing.assert_array_equal(x["gts"], y["gts"])
+        assert x["names"] == y["names"]
