@@ -110,14 +110,74 @@ class ConcatSplitConv3x3(nn.Module):
             "kernel", nn.initializers.lecun_normal(),
             (3, 3, self.total_in, self.features))
         a, b, kernel = nn.dtypes.promote_dtype(a, b, kernel, dtype=self.dtype)
+        # same compute dtype as the nn.Conv it replaces (the MXU accumulates
+        # in f32 internally either way); preferred_element_type=f32 here
+        # would break the conv transpose rule's dtype matching in backward
         dn = ("NHWC", "HWIO", "NHWC")
         ya = jax.lax.conv_general_dilated(
             a, kernel[:, :, : self.split], (1, 1), ((1, 1), (1, 1)),
-            dimension_numbers=dn, preferred_element_type=jnp.float32)
+            dimension_numbers=dn)
         yb = jax.lax.conv_general_dilated(
             b, kernel[:, :, self.split :], (1, 1), ((1, 1), (1, 1)),
-            dimension_numbers=dn, preferred_element_type=jnp.float32)
-        return (ya + yb).astype(a.dtype)
+            dimension_numbers=dn)
+        return ya + yb
+
+
+class SpaceToDepthStem(nn.Module):
+    """7x7 stride-2 pad-3 stem conv computed on a 2x2 space-to-depth input.
+
+    The raw stem conv reads (H, W, 3) -- 3 channels against the TPU's
+    128-lane tiling, so the input tensor is ~42x padded in HBM and xprof
+    shows the op HBM-bound at <5% MFU (plus a dedicated layout copy).  The
+    MLPerf-ResNet trick: zero-pad the kernel to 8x8 at the top-left,
+    reorder input pixels 2x2-to-depth ((H/2, W/2, 12)) and run the
+    equivalent 4x4 stride-1 conv with padding ((2,1),(2,1)).  Exact math:
+    output pixel i reads x rows 2i-3..2i+3 either way; the padded kernel
+    row 0 multiplies row 2i-4 by zero.
+
+    The parameter stays "kernel" (7,7,3,F) -- checkpoints/converter/parity
+    tests unaffected; the reorder of the WEIGHTS is traced and constant-
+    folded per compile.  Requires even H, W (the protocol's crops/images
+    are; odd inputs fall back to the plain conv).
+    """
+
+    features: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (7, 7, x.shape[-1], self.features))
+        x, kernel = nn.dtypes.promote_dtype(x, kernel, dtype=self.dtype)
+        n, h, w, c = x.shape
+        if h % 2 or w % 2:
+            return jax.lax.conv_general_dilated(
+                x, kernel, (2, 2), ((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        # input 2x2 space-to-depth: (N, H/2, W/2, 2*2*C)
+        xs = x.reshape(n, h // 2, 2, w // 2, 2, c)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+        # kernel: zero-pad 7x7 -> 8x8 at the top-left, then fold the 2x2
+        # phase into channels to match the input reorder
+        kp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        kp = kp.reshape(4, 2, 4, 2, c, self.features)
+        kp = kp.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, self.features)
+        return jax.lax.conv_general_dilated(
+            xs, kp, (1, 1), ((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+_STD_STEM = None
+
+
+def use_std_stem() -> bool:
+    global _STD_STEM
+    if _STD_STEM is None:
+        import os
+
+        _STD_STEM = os.environ.get("PINMEM_STD_STEM", "0") == "1"
+    return _STD_STEM
 
 
 _SPLIT_CONCAT = None

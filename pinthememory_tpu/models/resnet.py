@@ -30,9 +30,11 @@ from pinthememory_tpu.models.layers import (
     IW_SWITCH,
     IW_WHITEN,
     IW_WHITEN_ISW,
+    SpaceToDepthStem,
     apply_iw_hook,
     batch_norm,
     conv2d,
+    use_std_stem,
 )
 from pinthememory_tpu.ops.pool import max_pool_3x3_s2
 
@@ -200,8 +202,14 @@ class ResNetBackbone(nn.Module):
             in_planes = 128
         else:
             # single 7x7 stem; whitening position 2 hooks its norm
-            # (Resnet.py:404-430)
-            x = conv2d(64, 7, 2, 3, dtype=self.dtype, name="conv1")(x)
+            # (Resnet.py:404-430).  PINMEM_STD_STEM=1 computes the same
+            # conv on a 2x2 space-to-depth input (exact math; see
+            # layers.SpaceToDepthStem)
+            if use_std_stem():
+                x = SpaceToDepthStem(features=64, dtype=self.dtype,
+                                     name="conv1")(x)
+            else:
+                x = conv2d(64, 7, 2, 3, dtype=self.dtype, name="conv1")(x)
             x = nn.relu(stem_norm(2, 64, "bn1", x))
             in_planes = 64
 

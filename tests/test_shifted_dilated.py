@@ -68,3 +68,50 @@ def test_conv2d_dispatch():
     assert isinstance(conv2d(8, 3, 2, 2, 2), nn.Conv)   # strided
     assert isinstance(conv2d(8, 3, 1, 1, 1), nn.Conv)   # dense
     assert isinstance(conv2d(8, 1, 1, 0, 1), nn.Conv)   # 1x1
+
+
+def test_concat_split_conv_matches_fused_conv():
+    """ConcatSplitConv3x3 == nn.Conv on the concatenated input (linearity
+    of convolution in input channels); parameter tree identical."""
+    import flax.linen as nn
+
+    from pinthememory_tpu.models.layers import ConcatSplitConv3x3, torch_pad
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((2, 12, 16, 5)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((2, 12, 16, 11)).astype(np.float32))
+    m = ConcatSplitConv3x3(features=8, split=5, total_in=16)
+    v = m.init(jax.random.PRNGKey(0), a, b)
+    assert v["params"]["kernel"].shape == (3, 3, 16, 8)
+
+    fused = nn.Conv(8, (3, 3), padding=torch_pad(1), use_bias=False)
+    ref = fused.apply({"params": {"kernel": v["params"]["kernel"]}},
+                      jnp.concatenate([a, b], axis=-1))
+    out = m.apply(v, a, b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_space_to_depth_stem_matches_conv7x7():
+    """SpaceToDepthStem == 7x7 stride-2 pad-3 conv (zero-padded kernel +
+    2x2 pixel/weight reorder); odd sizes fall back to the plain conv."""
+    from pinthememory_tpu.models.layers import SpaceToDepthStem
+
+    rng = np.random.default_rng(1)
+    m = SpaceToDepthStem(features=16)
+    x = jnp.asarray(rng.standard_normal((2, 32, 48, 3)).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x)
+    k = v["params"]["kernel"]
+    assert k.shape == (7, 7, 3, 16)
+    ref = jax.lax.conv_general_dilated(
+        x, k, (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    out = m.apply(v, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    x_odd = x[:, :31, :47, :]
+    ref_odd = jax.lax.conv_general_dilated(
+        x_odd, k, (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(m.apply(v, x_odd)),
+                               np.asarray(ref_odd), rtol=1e-5, atol=1e-5)
