@@ -68,6 +68,10 @@ class ModelConfig:
     bn_momentum: float = 0.9        # flax convention == 1 - torch 0.1
     memory: MemoryConfig = field(default_factory=MemoryConfig)
     whitening: WhiteningConfig = field(default_factory=WhiteningConfig)
+    # --fixed_aspp_pool (eval.py:741-745): replace the ASPP's adaptive global
+    # image pooling with a fixed 105x105 average-pool window at inference
+    # (0 = adaptive, the default)
+    fixed_aspp_pool: int = 0
     # compute dtype for the conv trunk; params always float32
     dtype: str = "float32"
 
@@ -115,6 +119,11 @@ class TrainConfig:
     cls_wt_loss: bool = False
     jointwtborder: bool = False
     wt_bound: float = 1.0
+    # border-relaxation schedule knobs (reference config.py:57-65,123-130)
+    batch_weighting: bool = False       # cfg.BATCH_WEIGHTING (--batch_weighting)
+    strict_bdr_cls: tuple[int, ...] = ()  # cfg.STRICTBORDERCLASS (--strict_bdr_cls)
+    rlx_off_iter: int = -1              # cfg.REDUCE_BORDER_ITER (--rlx_off_iter)
+    border_window: int = 1              # cfg.BORDER_WINDOW (fixed 1 in reference)
     test_mode: bool = False
     # beyond-parity (flag-gated, 0 = reference behavior of snapshotting only
     # at the end): save a 'last' checkpoint every N epochs so preemptible
@@ -134,6 +143,11 @@ class DataConfig:
     max_cu_epoch: int = 10000       # train.py:1136: cut epoch for class-
                                     # uniform sampling (fine-only after it)
     image_uniform_sampling: bool = False
+    # --maxSkip: Cityscapes sequence-neighbor frames at +/- max_skip added to
+    # aug_imgs (cityscapes.py:48-80); needs the auxiliary sequence tree at
+    # cityscapes_aug_dir (cfg.DATASET.CITYSCAPES_AUG_DIR, config.py:74)
+    max_skip: int = 0
+    cityscapes_aug_dir: str = ""
     scale_min: float = 0.5
     scale_max: float = 2.0
     pre_size: int | None = None
@@ -176,6 +190,7 @@ class Config:
     date: str = "0000"
     ckpt: str = "./logs/ckpt"
     tb_path: str = "./logs/tb"
+    tb_tag: str = ""                # TB run comment (utils/misc.py:128)
     snapshot: str | None = None
     restore_optimizer: bool = False
     # torchvision-format ImageNet trunk weights (.pth) for backbone init

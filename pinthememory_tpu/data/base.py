@@ -55,6 +55,13 @@ class SegmentationDataset:
         self.emit_meta_pair = False
         self.dump_images = dump_images
         self.jointwtborder = jointwtborder
+        # border-relaxation schedule state (reference cfg.STRICTBORDERCLASS /
+        # cfg.BORDER_WINDOW / cfg.REDUCE_BORDER_ITER<cfg.ITER; the trainer
+        # flips reduce_border per epoch exactly when the reference updates
+        # cfg.ITER, train.py:147-149)
+        self.strict_bdr_cls: tuple[int, ...] = ()
+        self.border_window: int = 1
+        self.reduce_border: bool = False
         self.imgs: list[tuple[str, str]] = []
         # extra (coarse/auxiliary) images mixed into class-uniform epochs
         # until max_cu_epoch, then dropped by build_epoch(cut=True)
@@ -141,8 +148,11 @@ class SegmentationDataset:
         if self.jointwtborder:
             # border-relaxed multi-hot main target; aux stays integer
             # (datasets/__init__.py:155-166)
-            mh = xt.relaxed_boundary_multihot(m, self.num_classes,
-                                              self.ignore_label)
+            mh = xt.relaxed_boundary_multihot(
+                m, self.num_classes, self.ignore_label,
+                border=self.border_window,
+                strict_classes=self.strict_bdr_cls,
+                reduce_border=self.reduce_border)
             return imgn.astype(np.float32), mh, name, m
         return imgn.astype(np.float32), m, name, m.copy()
 

@@ -75,7 +75,8 @@ class Cityscapes(SegmentationDataset):
     ``cv_split`` selects a city-level 3-fold split (cv 0 == official
     train/val, cityscapes.py:173-181)."""
 
-    def __init__(self, root: str, mode: str = "train", cv_split: int = 0, **kw):
+    def __init__(self, root: str, mode: str = "train", cv_split: int = 0,
+                 max_skip: int = 0, aug_root: str = "", **kw):
         super().__init__(mode=mode, **kw)
         self.root = root
         base_img = os.path.join(root, "leftImg8bit_trainvaltest", "leftImg8bit")
@@ -101,6 +102,37 @@ class Cityscapes(SegmentationDataset):
             split = make_cv_splits(tr_cities, va_cities)[cv_split % 3]
             wanted = set(split["train" if mode == "train" else "val"])
             self.imgs = pairs("train", wanted) + pairs("val", wanted)
+
+        if mode in ("train", "trainval") and max_skip > 0:
+            # --maxSkip (cityscapes.py:48-80): sequence-neighbor frames at
+            # frame +/- max_skip looked up under the auxiliary root
+            # (cfg.DATASET.CITYSCAPES_AUG_DIR; flat leftImg8bit/<city>/ tree,
+            # no split level) and kept only when image AND mask exist; they
+            # land in aug_imgs, which class-uniform epochs mix in until
+            # max_cu_epoch (train.py:178-183)
+            self.aug_imgs = self._sequence_neighbors(
+                self.imgs, aug_root, max_skip)
+
+    @staticmethod
+    def _sequence_neighbors(imgs, aug_root: str, max_skip: int):
+        img_base = os.path.join(aug_root, "leftImg8bit_trainvaltest",
+                                "leftImg8bit")
+        mask_base = os.path.join(aug_root, "gtFine_trainvaltest", "gtFine")
+        out = []
+        for img_path, _mask_path in imgs:
+            stem = os.path.basename(img_path)[: -len("_leftImg8bit.png")]
+            parts = stem.split("_")
+            if len(parts) < 3 or not parts[-1].isdigit():
+                continue
+            city = os.path.basename(os.path.dirname(img_path))
+            for d in (-max_skip, max_skip):
+                nstem = "_".join(parts[:-1]) + "_%06d" % (int(parts[-1]) + d)
+                ni = os.path.join(img_base, city, nstem + "_leftImg8bit.png")
+                nm = os.path.join(mask_base, city,
+                                  nstem + "_gtFine_labelIds.png")
+                if os.path.isfile(ni) and os.path.isfile(nm):
+                    out.append((ni, nm))
+        return out
 
     def decode_mask(self, mask_path: str) -> np.ndarray:
         raw = np.asarray(Image.open(mask_path), np.uint8)

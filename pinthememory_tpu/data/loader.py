@@ -395,13 +395,19 @@ def setup_loaders(cfg: Config, batch_scale: int = 1):
     train_sets = []
     for name in d.dataset:
         mode = d.city_mode if name == "cityscapes" else "train"
-        ds = build_dataset(name, cfg, mode)
+        kw = {}
+        if name == "cityscapes" and d.max_skip > 0:
+            kw = {"max_skip": d.max_skip,
+                  "aug_root": os.path.expanduser(d.cityscapes_aug_dir)}
+        ds = build_dataset(name, cfg, mode, **kw)
         if not isinstance(ds, NullLoader):
             ds.joint_transform = joint
             ds.input_transform = photo
             ds.meta_transform = meta
             ds.image_in = d.image_in
             ds.jointwtborder = cfg.train.jointwtborder
+            ds.strict_bdr_cls = tuple(cfg.train.strict_bdr_cls)
+            ds.border_window = cfg.train.border_window
         train_sets.append(ds)
 
     num_shards = 1
@@ -414,7 +420,12 @@ def setup_loaders(cfg: Config, batch_scale: int = 1):
     except Exception:
         pass
 
-    if len(train_sets) > 1:
+    if d.image_uniform_sampling and len(train_sets) > 1:
+        # plain concatenation -- every image equally likely, no leading
+        # domain axis, epoch = sum of dataset sizes
+        # (--image_uniform_sampling, datasets/__init__.py:632-635)
+        train_set = ConcatDataset(train_sets)
+    elif len(train_sets) > 1:
         train_set = DomainUniformConcatDataset(train_sets, seed=cfg.train.seed)
     else:
         train_set = train_sets[0]

@@ -147,8 +147,32 @@ class HideAndSeek:
         return out
 
 
+def find_boundaries_thick(labels: np.ndarray) -> np.ndarray:
+    """``skimage.segmentation.find_boundaries(mode='thick')`` for 2-D labels.
+
+    A pixel is a boundary pixel iff any 4-neighbor (the default
+    connectivity-1 footprint) carries a different label — pixels on BOTH
+    sides of a label change are marked.  Implemented directly because
+    skimage is not a dependency; used by the reduce-border schedule
+    (reference transforms/transforms.py:130).
+    """
+    b = np.zeros(labels.shape, bool)
+    d = labels[:-1, :] != labels[1:, :]
+    b[:-1, :] |= d
+    b[1:, :] |= d
+    d = labels[:, :-1] != labels[:, 1:]
+    b[:, :-1] |= d
+    b[:, 1:] |= d
+    return b
+
+
 def relaxed_boundary_multihot(
-    mask: np.ndarray, num_classes: int = 19, ignore_id: int = 255, border: int = 1
+    mask: np.ndarray,
+    num_classes: int = 19,
+    ignore_id: int = 255,
+    border: int = 1,
+    strict_classes: tuple[int, ...] = (),
+    reduce_border: bool = False,
 ) -> np.ndarray:
     """Border-relaxed multi-hot target (transforms/transforms.py:99-148).
 
@@ -156,10 +180,35 @@ def relaxed_boundary_multihot(
     (2*border+1)^2 window around it (out-of-range shifts fill with the
     ignore slot).  Returns (H, W, num_classes+1) uint8, ignore in the last
     channel.
+
+    ``strict_classes`` (cfg.STRICTBORDERCLASS, --strict_bdr_cls): pixels
+    whose own label is in the list keep their strict one-hot target instead
+    of the relaxed union (transforms.py:120-127, 139-141).
+
+    ``reduce_border`` (cfg.REDUCE_BORDER_ITER, --rlx_off_iter): once the
+    training iteration passes the threshold the window shrinks to
+    ``border // 2`` and targets on label boundaries (skimage 'thick' mode)
+    are DOUBLED to 2 (transforms.py:128-131, 144-146); the doubled values
+    flow into ImgWtLossSoftNLL's border weights and per-image class
+    histogram exactly as in the reference.
     """
     m = mask.astype(np.int64).copy()
     m[m == ignore_id] = num_classes
     h, w = m.shape
+
+    strict_mask = None
+    one_hot_orig = None
+    if strict_classes:
+        strict_mask = np.isin(m, np.asarray(strict_classes, np.int64))
+        one_hot_orig = np.zeros((h, w, num_classes + 1), np.uint8)
+        one_hot_orig.reshape(-1, num_classes + 1)[
+            np.arange(h * w), m.ravel()] = 1
+
+    boundary = None
+    if reduce_border:
+        border = border // 2
+        boundary = find_boundaries_thick(m)
+
     out = np.zeros((h, w, num_classes + 1), np.uint8)
     for dy in range(-border, border + 1):
         for dx in range(-border, border + 1):
@@ -172,6 +221,10 @@ def relaxed_boundary_multihot(
             idx = np.arange(h * w)
             flat = out.reshape(-1, num_classes + 1)
             flat[idx, shifted.ravel()] = 1
+    if strict_mask is not None:
+        out = np.where(strict_mask[..., None], one_hot_orig, out)
+    if boundary is not None:
+        out = np.where(boundary[..., None], 2 * out, out).astype(np.uint8)
     return out
 
 

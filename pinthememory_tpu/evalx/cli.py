@@ -79,6 +79,55 @@ def build_parser():
                         "the per-device batch")
     p.add_argument("--model_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    # reference flag-surface parity -------------------------------------
+    # shared model-assign block (train.py:1045-1079, reused by eval.py:63);
+    # wt_layer / memory knobs are REAL here -- whitening archs carry extra
+    # normalization params the checkpoint loader must rebuild
+    p.add_argument("--wt_layer", nargs="*", type=int, default=[0] * 7)
+    p.add_argument("--mem_momentum", type=float, default=0.8)
+    p.add_argument("--mem_temp", type=float, default=1.0)
+    p.add_argument("--gumbel_off", action="store_true")
+    p.add_argument("--relax_denom", type=float, default=0.0)
+    p.add_argument("--clusters", type=int, default=50)
+    p.add_argument("--dataset_cls", dest="dataset", default=argparse.SUPPRESS,
+                   help="alias of --dataset (eval.py:76; the reference "
+                        "overwrites it with the dataset module internally)")
+    p.add_argument("--exp", type=str, default="default",
+                   help="experiment tag in output naming (eval.py:85)")
+    p.add_argument("--profile", type=str, default=None,
+                   help="write a jax.profiler trace of the first batches "
+                        "(the reference declares --profile but never "
+                        "consumes it, eval.py:67)")
+    p.add_argument("--mode", dest="split", default=argparse.SUPPRESS,
+                   help="alias of --split (the reference passes the split "
+                        "as --mode, eval.py:80,426)")
+    p.add_argument("--videopath", dest="video_folder",
+                   default=argparse.SUPPRESS,
+                   help="alias of --video_folder (eval.py:555-561)")
+    p.add_argument("--fixed_aspp_pool", action="store_true",
+                   help="fix the ASPP image pooling to AvgPool2d(105) -- "
+                        "the tensor size when trained at crop 840x840 "
+                        "(eval.py:741-745)")
+    p.add_argument("--faster", action="store_true",
+                   help="reference flag that batches crops through the model "
+                        "(eval.py:379-381); the rebuild ALWAYS batches tiles "
+                        "(evalx/sliding.py), so this is accepted as a no-op")
+    # accepted-for-script-parity, no effect here: distributed plumbing that
+    # GSPMD replaces (--local_rank/--dist_url/--syncbn/--dist_bn, see
+    # PARITY.md) and flags that are declared but dead in the reference too
+    # (--resume is never read, eval.py:94-95; --trunk / --visualize_feature
+    # have no eval-path consumer)
+    for flag in ("--local_rank", "--dist_url", "--trunk", "--dataset_dir",
+                 "--num_workers", "--trials"):
+        p.add_argument(flag, default=None, help=argparse.SUPPRESS)
+    # --image_in is eval-inert in the reference too: datasets skip
+    # normalization entirely in eval modes (cityscapes.py:299-306 is behind
+    # ``if not self.eval_mode``) and the protocols normalize with the
+    # ImageNet constants (eval.py:366-367)
+    for flag in ("--syncbn", "--dist_bn", "--resume", "--visualize_feature",
+                 "--image_in", "--img_wt_loss", "--cls_wt_loss",
+                 "--jointwtborder", "--use_wtloss"):
+        p.add_argument(flag, action="store_true", help=argparse.SUPPRESS)
     return p
 
 
@@ -93,10 +142,19 @@ def main(argv=None):
     from pinthememory_tpu.models.memory import init_memory
     from pinthememory_tpu.utils.checkpoint import load_state, load_torch_snapshot
 
+    from pinthememory_tpu.core.config import WhiteningConfig
+
     mc = ModelConfig(
         arch=args.arch,
         memory=MemoryConfig(enabled=args.memory, mem_slot=args.mem_slot,
-                            mem_dim=args.mem_dim),
+                            mem_dim=args.mem_dim,
+                            mem_momentum=args.mem_momentum,
+                            mem_temp=args.mem_temp,
+                            gumbel_read=not args.gumbel_off),
+        whitening=WhiteningConfig(wt_layer=tuple(args.wt_layer),
+                                  relax_denom=args.relax_denom,
+                                  clusters=args.clusters),
+        fixed_aspp_pool=105 if args.fixed_aspp_pool else 0,
         dtype=args.model_dtype,
     )
     model = build_model(mc)
@@ -276,7 +334,16 @@ def main(argv=None):
     # rides under the compute instead of serializing with it
     group: list = []
     ready = None  # (group, device_array) waiting to be flushed
+    profiling = False
     for i in range(lo, hi):
+        if args.profile and i - lo == 1 and not profiling:
+            # skip image 0 (compile); trace steady-state batches 1-4
+            jax.profiler.start_trace(args.profile)
+            profiling = True
+        if profiling and i - lo == 5:
+            jax.profiler.stop_trace()
+            profiling = False
+            print(f"profiler trace written to {args.profile}")
         raw, gt, name = ds[i]
         if eval_joint is not None:
             raw, gt = eval_joint(raw, gt)
@@ -292,6 +359,9 @@ def main(argv=None):
         hist = flush(ready[0], hist, ready[1])
     if group:
         hist = flush(group, hist)
+    if profiling:
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {args.profile}")
 
     if done[0]:
         print(format_class_table(np.asarray(hist), TRAINID_NAMES))

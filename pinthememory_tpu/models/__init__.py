@@ -91,6 +91,7 @@ def build_model(mc: ModelConfig) -> Any:
         mem_temp=mc.memory.mem_temp,
         gumbel_read=mc.memory.gumbel_read,
         wt_layer=tuple(mc.whitening.wt_layer),
+        fixed_aspp_pool=mc.fixed_aspp_pool,
         dtype=jnp.dtype(mc.dtype),
     )
 

@@ -35,13 +35,23 @@ class ASPP(nn.Module):
     reduction_dim: int = 256
     output_stride: int = 16
     dtype: Any = jnp.float32
+    # --fixed_aspp_pool (eval.py:741-745): replace the adaptive global image
+    # pooling with a fixed AvgPool2d(105) window -- "the tensor size if you
+    # train with crop size of 840x840" (at OS8).  0 = adaptive (default).
+    fixed_pool: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         rates = aspp_rates(self.output_stride)
         h, w = x.shape[1:3]
 
-        img = global_avg_pool(x)
+        if self.fixed_pool > 0:
+            # torch AvgPool2d(k): stride = k, no padding, floor output size
+            img = nn.avg_pool(
+                x, (self.fixed_pool, self.fixed_pool),
+                strides=(self.fixed_pool, self.fixed_pool))
+        else:
+            img = global_avg_pool(x)
         img = conv2d(self.reduction_dim, 1, dtype=self.dtype, name="img_conv")(img)
         img = batch_norm(self.dtype, name="img_bn")(img, use_running_average=not train)
         img = nn.relu(img)

@@ -111,6 +111,8 @@ class DeepV3Plus(nn.Module):
     gumbel_read: bool = True
     wt_layer: tuple = (0, 0, 0, 0, 0, 0, 0)
     use_skip: bool = True      # False = DeepV3 (network/deepv3.py)
+    # --fixed_aspp_pool (eval.py:741-745): AvgPool2d(105) image pooling
+    fixed_aspp_pool: int = 0
     dtype: Any = jnp.float32
 
     @property
@@ -120,7 +122,8 @@ class DeepV3Plus(nn.Module):
     def setup(self):
         self.backbone = make_backbone(self.trunk, self.wt_layer, self.variant, self.dtype)
         _, prev_final, final = trunk_channels(self.trunk)
-        self.aspp = ASPP(256, self.output_stride, self.dtype)
+        self.aspp = ASPP(256, self.output_stride, self.dtype,
+                         fixed_pool=self.fixed_aspp_pool)
         self.bot_aspp_conv = conv2d(256, 1, dtype=self.dtype, name="bot_aspp_conv")
         self.bot_aspp_bn = batch_norm(self.dtype, name="bot_aspp_bn")
         if self.use_skip:

@@ -37,7 +37,56 @@ def build_parser():
     p.add_argument("--max_images", type=int, default=50)
     p.add_argument("--results_dir", type=str, default="./abla_results")
     p.add_argument("--test_mode", action="store_true")
+    # reference flag-surface parity (ablation.py:53-88) -----------------
+    p.add_argument("--all_class", action="store_true",
+                   help="basket all 19 classes instead of the reference's "
+                        "6-class 'good memory learning' selection "
+                        "(ablation.py:448-454)")
+    p.add_argument("--duplication", type=int, default=1,
+                   help="re-embed/re-plot the t-SNE N times (tsnelib.py:151; "
+                        "reference default 10 -- each try re-inits t-SNE)")
+    p.add_argument("--imagenum_dom", dest="max_images", type=int,
+                   default=argparse.SUPPRESS,
+                   help="alias of --max_images: images per domain "
+                        "(ablation.py:87, reference default 600)")
+    p.add_argument("--outdir", dest="results_dir", default=argparse.SUPPRESS,
+                   help="alias of --results_dir (ablation.py:434-435)")
+    p.add_argument("--ablation_mode", nargs="*", type=str,
+                   default=["tsnemem"],
+                   help="accepted for script parity; stored but never "
+                        "consumed in the reference either (ablation.py:295)")
+    p.add_argument("--tsnecuda", action="store_true",
+                   help="reference backend switch (tsnelib.py:29-33); the "
+                        "rebuild embeds with sklearn either way (analysis is "
+                        "off the hot path)")
+    # shared model-assign block (train.py:1045-1079, reused by
+    # ablation.py:54); wt_layer / memory knobs are REAL -- whitening archs
+    # carry extra normalization params the checkpoint loader must rebuild
+    p.add_argument("--wt_layer", nargs="*", type=int, default=[0] * 7)
+    p.add_argument("--mem_slot", type=int, default=19)
+    p.add_argument("--mem_dim", type=int, default=256)
+    p.add_argument("--mem_momentum", type=float, default=0.8)
+    p.add_argument("--mem_temp", type=float, default=1.0)
+    p.add_argument("--gumbel_off", action="store_true")
+    p.add_argument("--relax_denom", type=float, default=0.0)
+    p.add_argument("--clusters", type=int, default=50)
+    p.add_argument("--exp", type=str, default="default",
+                   help="experiment tag in output naming (ablation.py:62)")
+    # accepted-for-script-parity no-ops: loss flags are train-only, --image_in
+    # is eval-inert (datasets skip normalization in eval modes,
+    # cityscapes.py:299-306), distributed plumbing is GSPMD's job
+    for flag in ("--local_rank", "--dist_url", "--num_workers", "--trunk"):
+        p.add_argument(flag, default=None, help=argparse.SUPPRESS)
+    for flag in ("--syncbn", "--image_in", "--img_wt_loss", "--cls_wt_loss",
+                 "--jointwtborder", "--use_wtloss"):
+        p.add_argument(flag, action="store_true", help=argparse.SUPPRESS)
     return p
+
+
+# the reference's default t-SNE class selection, "good memory learning for
+# tsne" (ablation.py:453-454); --all_class switches to all 19
+SELECTED_CLS_DEFAULT = ("building", "vegetation", "sky", "car", "sidewalk",
+                        "pole")
 
 
 def memact_heatmaps(raw_img: np.ndarray, score_memory: np.ndarray, out_dir: str,
@@ -77,9 +126,21 @@ def main(argv=None):
     if args.test_mode:
         args.max_images = 5
 
-    mc = ModelConfig(arch=args.arch, memory=MemoryConfig(enabled=args.memory))
+    from pinthememory_tpu.core.config import WhiteningConfig
+
+    mc = ModelConfig(
+        arch=args.arch,
+        memory=MemoryConfig(enabled=args.memory, mem_slot=args.mem_slot,
+                            mem_dim=args.mem_dim,
+                            mem_momentum=args.mem_momentum,
+                            mem_temp=args.mem_temp,
+                            gumbel_read=not args.gumbel_off),
+        whitening=WhiteningConfig(wt_layer=tuple(args.wt_layer),
+                                  relax_denom=args.relax_denom,
+                                  clusters=args.clusters))
     model = build_model(mc)
-    m_items = init_memory(jax.random.PRNGKey(1), 19, 256) if args.memory else None
+    m_items = (init_memory(jax.random.PRNGKey(1), args.mem_slot, args.mem_dim)
+               if args.memory else None)
     hw = (args.crop_size, args.crop_size)
     init_fn = jax.jit(functools.partial(
         model.init, train=False, with_aux=True, memory_writing=args.memory))
@@ -98,13 +159,21 @@ def main(argv=None):
         return model.apply(variables, img[None], None, m_items,
                            train=False, with_aux=False)
 
-    collector = TsneCollector()
+    from pinthememory_tpu.core.labels import TRAINID_NAMES
+
+    if args.all_class:
+        selected = None  # every trainId (ablation.py:448-451)
+    else:
+        name2id = {n: i for i, n in enumerate(TRAINID_NAMES)}
+        selected = tuple(name2id[n] for n in SELECTED_CLS_DEFAULT)
+    collector = TsneCollector(selected_classes=selected)
     # second basket: the memory-REFINED features (the reference's
     # tsne_runner_updated, ablation.py:356-359 -- updated_features =
     # mem_outputs[-1], the post-read fused dec0_up).  The pre/post scatter
     # pair is the paper's core qualitative evidence that the memory pulls
     # class features together across domains.
-    collector_updated = TsneCollector() if args.memory else None
+    collector_updated = (TsneCollector(selected_classes=selected)
+                         if args.memory else None)
     cfg = Config(model=mc, data=DataConfig(dataset_root=args.dataset_root))
     from pinthememory_tpu.data.joint_transforms import CenterCropPad, ResizeHeight
 
@@ -140,14 +209,16 @@ def main(argv=None):
         if m_items is not None:
             collector.add_memory(np.asarray(m_items))
         collector.draw(os.path.join(args.results_dir, "tsne"),
-                       source_domains=tuple(args.source_domain))
+                       source_domains=tuple(args.source_domain),
+                       duplication=args.duplication)
         print(f"t-SNE written to {args.results_dir}/tsne")
         if collector_updated is not None and collector_updated.features:
             if m_items is not None:
                 collector_updated.add_memory(np.asarray(m_items))
             collector_updated.draw(
                 os.path.join(args.results_dir, "tsne_updated"),
-                source_domains=tuple(args.source_domain))
+                source_domains=tuple(args.source_domain),
+                duplication=args.duplication)
             print(f"post-memory t-SNE written to {args.results_dir}/tsne_updated")
     return collector, collector_updated
 

@@ -17,22 +17,32 @@ from pinthememory_tpu.core.labels import TRAINID_NAMES, trainId2color
 
 
 class TsneCollector:
-    """Accumulate per-class mean features by domain (tsnelib.py:48-74)."""
+    """Accumulate per-class mean features by domain (tsnelib.py:48-74).
 
-    def __init__(self, num_classes: int = 19, ignore_label: int = 255):
+    ``selected_classes`` restricts basketing to those trainIds (the
+    reference's ``selected_cls`` list -- 6 classes by default in
+    ablation.py:453-454, all 19 with --all_class); None keeps every class.
+    """
+
+    def __init__(self, num_classes: int = 19, ignore_label: int = 255,
+                 selected_classes: tuple[int, ...] | None = None):
         self.num_classes = num_classes
         self.ignore_label = ignore_label
+        self.selected = (tuple(range(num_classes))
+                         if selected_classes is None
+                         else tuple(selected_classes))
         self.features: list[np.ndarray] = []
         self.class_ids: list[int] = []
         self.domains: list[str] = []
         self.mem_items: np.ndarray | None = None
+        self.mem_class_ids: tuple[int, ...] = ()
 
     def add_batch(self, feats: np.ndarray, labels: np.ndarray, domain: str):
         """feats: (H, W, D) (pre- or post-memory); labels: (H, W) trainIds
         downsampled to feature resolution."""
         feats = np.asarray(feats, np.float32)
         labels = np.asarray(labels)
-        for c in range(self.num_classes):
+        for c in self.selected:
             m = labels == c
             if m.sum() < 1:
                 continue
@@ -45,8 +55,12 @@ class TsneCollector:
             self.domains.append(domain)
 
     def add_memory(self, m_items: np.ndarray):
-        """Include the memory slots as markers (tsnelib.py input_memory_item)."""
-        self.mem_items = np.asarray(m_items, np.float32)
+        """Include the SELECTED memory slots as markers
+        (tsnelib.py:84-86: ``mem_vecs = m_items[self.selected_clsid]``)."""
+        m = np.asarray(m_items, np.float32)
+        sel = [c for c in self.selected if c < len(m)]
+        self.mem_items = m[sel]
+        self.mem_class_ids = tuple(sel)
 
     def embed(self, perplexity: float = 30.0, seed: int = 0) -> dict:
         from sklearn.manifold import TSNE
@@ -67,11 +81,22 @@ class TsneCollector:
         }
 
     def draw(self, out_dir: str, perplexity: float = 30.0, seed: int = 0,
-             source_domains: tuple[str, ...] = ()):
+             source_domains: tuple[str, ...] = (), duplication: int = 1):
         """Class-colored and domain-colored scatters (tsnelib.py:88-216).
 
         ``source_domains`` are drawn as circles, unseen domains as crosses
-        (the reference's --source_domain marker split)."""
+        (the reference's --source_domain marker split).  ``duplication``
+        re-embeds and re-plots N times (t-SNE inits differ per try;
+        tsnelib.py:151 ``for tries in range(self.duplication)``) -- try 0
+        keeps the unsuffixed filenames, later tries get ``_try{t}``."""
+        for t in range(max(1, duplication)):
+            res = self._draw_one(out_dir, perplexity, seed + t,
+                                 source_domains,
+                                 suffix="" if t == 0 else f"_try{t}")
+        return res
+
+    def _draw_one(self, out_dir: str, perplexity: float, seed: int,
+                  source_domains: tuple[str, ...], suffix: str = ""):
         import matplotlib
 
         matplotlib.use("Agg")
@@ -85,11 +110,12 @@ class TsneCollector:
         ax.scatter(res["points"][:, 0], res["points"][:, 1], c=colors, s=8)
         if res["memory_points"] is not None:
             mp = res["memory_points"]
-            mcol = np.array([trainId2color[i % 19] for i in range(len(mp))]) / 255.0
+            slot_ids = self.mem_class_ids or tuple(range(len(mp)))
+            mcol = np.array([trainId2color[i % 19] for i in slot_ids]) / 255.0
             ax.scatter(mp[:, 0], mp[:, 1], c=mcol, s=120, marker="*",
                        edgecolors="black", linewidths=0.8)
         ax.set_title("t-SNE by class (stars = memory slots)")
-        fig.savefig(os.path.join(out_dir, "tsne_class.png"), dpi=150)
+        fig.savefig(os.path.join(out_dir, f"tsne_class{suffix}.png"), dpi=150)
         plt.close(fig)
 
         fig, ax = plt.subplots(figsize=(8, 8))
@@ -102,6 +128,6 @@ class TsneCollector:
                        color=cmap(i % 10), s=8, label=d, marker=marker)
         ax.legend()
         ax.set_title("t-SNE by domain")
-        fig.savefig(os.path.join(out_dir, "tsne_domain.png"), dpi=150)
+        fig.savefig(os.path.join(out_dir, f"tsne_domain{suffix}.png"), dpi=150)
         plt.close(fig)
         return res

@@ -112,6 +112,55 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cls_wt_loss", action="store_true")
     p.add_argument("--jointwtborder", action="store_true")
     p.add_argument("--wt_bound", type=float, default=1.0)
+    p.add_argument("--batch_weighting", action="store_true",
+                   help="class weights from the whole-batch histogram "
+                        "instead of per image (cfg.BATCH_WEIGHTING, "
+                        "config.py:123-124, loss.py:151-154)")
+    p.add_argument("--strict_bdr_cls", type=str, default="",
+                   help="comma-separated classes that keep strict one-hot "
+                        "borders under --jointwtborder "
+                        "(cfg.STRICTBORDERCLASS, config.py:127-128)")
+    p.add_argument("--rlx_off_iter", type=int, default=-1,
+                   help="iteration after which border relaxation shrinks "
+                        "and boundary targets double "
+                        "(cfg.REDUCE_BORDER_ITER, config.py:129-130, "
+                        "loss.py:226-228)")
+    p.add_argument("--sgd", action="store_true",
+                   help="SGD (the only optimizer the reference implements; "
+                        "optimizer.py:20-27 raises on anything else -- "
+                        "accepted for script parity, SGD is the default)")
+    p.add_argument("--adam", action="store_true",
+                   help="declared but unimplemented in the reference "
+                        "(optimizer.py:27 raises 'Not a valid optimizer')")
+    p.add_argument("--amsgrad", action="store_true",
+                   help="declared but unimplemented in the reference")
+    p.add_argument("--image_uniform_sampling", action="store_true",
+                   help="plain ConcatDataset over domains instead of "
+                        "domain-uniform batching (datasets/__init__.py:632)")
+    p.add_argument("--tb_tag", type=str, default="",
+                   help="TensorBoard run comment (utils/misc.py:128)")
+    p.add_argument("--maxSkip", dest="max_skip", type=int, default=0,
+                   help="Cityscapes sequence-neighbor frames at +/- N added "
+                        "to the class-uniform aug pool (cityscapes.py:48-80)")
+    p.add_argument("--cityscapes_aug_dir", type=str, default="",
+                   help="root of the Cityscapes sequence tree --maxSkip "
+                        "reads (cfg.DATASET.CITYSCAPES_AUG_DIR, config.py:74)")
+    p.add_argument("--coarse_boost_classes", type=str, default=None,
+                   help="reference flag boosting classes from gtCoarse "
+                        "centroids (datasets/__init__.py:347-349); the "
+                        "rebuild has no gtCoarse backend -- setting it is an "
+                        "error (see PARITY.md)")
+    # accepted-for-script-parity, no effect: distributed plumbing GSPMD
+    # replaces (--local_rank/--dist_url/--syncbn) and flags that are declared
+    # but never read in the reference either (--fp16/--start_epoch/
+    # --epoch_per_val/--freeze_trunk/--hardnm/--rescale/--repoly/--scf/
+    # --trunk -- verified by grep over /root/reference; see PARITY.md)
+    for flag in ("--local_rank", "--dist_url", "--trunk", "--start_epoch",
+                 "--epoch_per_val", "--hardnm", "--rescale", "--repoly",
+                 "--scf"):
+        p.add_argument(flag, default=None, help=argparse.SUPPRESS)
+    for flag in ("--syncbn", "--fp16", "--freeze_trunk"):
+        p.add_argument(flag, action="store_true", help=argparse.SUPPRESS)
     # infra
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--date", type=str, default="0000")
@@ -137,6 +186,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dump_augmentation_images", action="store_true",
                    help="dump the first training batch's augmented images + "
                         "colorized masks (train.py:1183)")
+    p.add_argument("--visualize_feature", action="store_true",
+                   help="dump whitening-tap covariance matrix images at the "
+                        "logging cadence (train.py:326-342, visualize_matrix)")
+    # --use_wtloss / --use_isw are redundant in the reference too: it derives
+    # both from --wt_layer before anything reads them (train.py:77-83), which
+    # is exactly what WhiteningConfig's properties do here
+    for flag in ("--use_wtloss", "--use_isw"):
+        p.add_argument(flag, action="store_true", help=argparse.SUPPRESS)
     return p
 
 
@@ -161,6 +218,23 @@ def config_from_args(args: argparse.Namespace) -> Config:
         else:
             args.max_epoch = 150
 
+    if args.coarse_boost_classes:
+        raise SystemExit(
+            "--coarse_boost_classes needs a Cityscapes gtCoarse backend, "
+            "which the rebuild does not ship (the reference only exercises "
+            "it with coarse annotations on disk); see PARITY.md")
+    if args.adam or args.amsgrad:
+        # optimizer.py:20-27: only --sgd is implemented; anything else is
+        # "Not a valid optimizer"
+        raise SystemExit("Not a valid optimizer (the reference implements "
+                         "SGD only, optimizer.py:27)")
+    if args.image_uniform_sampling and args.mldg:
+        # MLDG needs the leading domain axis that only domain-uniform
+        # batching produces (train.py:395-400 asserts 5-D input; a plain
+        # ConcatDataset batch would crash the reference there too)
+        raise SystemExit("--image_uniform_sampling and --mldg are "
+                         "incompatible (MLDG requires domain-uniform "
+                         "batches)")
     if args.mldg and args.per_domain:
         # --mldg takes dispatch priority but step_mldg is built for the
         # scaled-SGD opt state while --per_domain re-initializes it to the
@@ -208,6 +282,10 @@ def config_from_args(args: argparse.Namespace) -> Config:
             cls_wt_loss=args.cls_wt_loss, jointwtborder=args.jointwtborder,
             wt_bound=args.wt_bound, test_mode=args.test_mode, seed=args.seed,
             snapshot_every=args.snapshot_every,
+            batch_weighting=args.batch_weighting,
+            strict_bdr_cls=tuple(int(c) for c in args.strict_bdr_cls.split(",")
+                                 if c.strip() != ""),
+            rlx_off_iter=args.rlx_off_iter,
         ),
         data=DataConfig(
             dataset=tuple(args.dataset), val_dataset=tuple(args.val_dataset),
@@ -221,8 +299,12 @@ def config_from_args(args: argparse.Namespace) -> Config:
             gblur=args.gblur, bblur=args.bblur, rrotate=args.rrotate,
             image_in=args.image_in, num_workers=args.num_workers,
             dataset_root=args.dataset_root,
+            image_uniform_sampling=args.image_uniform_sampling,
+            max_skip=args.max_skip,
+            cityscapes_aug_dir=args.cityscapes_aug_dir,
         ),
         exp=args.exp, date=args.date, ckpt=args.ckpt, tb_path=args.tb_path,
+        tb_tag=args.tb_tag,
         snapshot=args.snapshot, restore_optimizer=args.restore_optimizer,
         pretrained=args.pretrained,
     )
@@ -232,10 +314,15 @@ class Trainer:
     """Reference MemoryMetaFrameWork, functional style (train.py:43-197)."""
 
     def __init__(self, cfg: Config, profile_dir: str | None = None,
-                 check_nan: bool = False, dump_aug: bool = False):
+                 check_nan: bool = False, dump_aug: bool = False,
+                 visualize_feature: bool = False):
         self.profile_dir = profile_dir
         self.check_nan = check_nan
         self.dump_aug = dump_aug
+        # --visualize_feature: whitening-tap covariance images at the log
+        # cadence (train.py:326-342); meaningful only with whitening taps
+        self.viz_feature = (visualize_feature
+                            and cfg.model.whitening.use_wtloss)
         from pinthememory_tpu.data import setup_loaders
         from pinthememory_tpu.models import build_model
         from pinthememory_tpu.models.memory import init_memory
@@ -358,7 +445,10 @@ class Trainer:
         self.epoch = 0
         self.rng = jax.random.PRNGKey(cfg.train.seed + 1)
         self.np_rng = np.random.default_rng(cfg.train.seed + 2)
-        self.num_domains = len(cfg.data.dataset)
+        # image_uniform_sampling concatenates domains with no leading domain
+        # axis, so episode logic sees a single mixed domain
+        self.num_domains = (1 if cfg.data.image_uniform_sampling
+                            else len(cfg.data.dataset))
         self.inner_lr = cfg.train.inner_lr
 
     # -- memory prototype initialization (train.py:1000-1042) -------------
@@ -506,6 +596,16 @@ class Trainer:
         # previous step's output and serialize the upload/compute pipeline)
         step_no = int(self.state.step)
 
+        # border-relaxation schedule flip, evaluated once per epoch exactly
+        # when the reference refreshes cfg.ITER (train.py:147-149;
+        # loss.py:226, transforms.py:128 then read the stale value all epoch)
+        reduce_border = (cfg.train.rlx_off_iter != -1
+                         and step_no > cfg.train.rlx_off_iter)
+        if cfg.train.jointwtborder:
+            for ds in getattr(self.train_loader.dataset, "datasets",
+                              [self.train_loader.dataset]):
+                ds.reduce_border = reduce_border
+
         def prepared_batches():
             """Lag-one device prefetch (the evalx.cli pattern,
             cli.py:251-267): batch i+1's host->device upload is ISSUED
@@ -551,16 +651,16 @@ class Trainer:
             if mldg_now:
                 self.state, metrics = self.step_mldg(
                     self.state, jbatch, sub, tr, te, jnp.float32(self.inner_lr),
-                    wt_masks, apply_wt)
+                    wt_masks, apply_wt, reduce_border)
                 log_metrics = {f"inner_{k}": v for k, v in metrics["inner"].items()}
                 log_metrics.update({f"outer_{k}": v for k, v in metrics["outer"].items()})
             elif self.step_pd is not None:
                 self.state, metrics = self.step_pd(
-                    self.state, jbatch, sub, wt_masks, apply_wt)
+                    self.state, jbatch, sub, wt_masks, apply_wt, reduce_border)
                 log_metrics = dict(metrics)
             else:
                 self.state, metrics = self.step_agg(
-                    self.state, jbatch, sub, wt_masks, apply_wt)
+                    self.state, jbatch, sub, wt_masks, apply_wt, reduce_border)
                 log_metrics = dict(metrics)
 
             if cfg.train.inner_lr_anneal:
@@ -581,11 +681,49 @@ class Trainer:
                     f": {step_no}] "
                     f"[loss {loss_now:.6f}] [lr {lr:.6f}] [time {ms:.0f} ms/it]")
                 self.log.scalars(step_no, log_metrics)
+                if self.viz_feature:
+                    self._visualize_feature(jbatch, step_no)
 
             if cfg.train.test_mode and i > 5:
                 return False
         self.log.info(f"epoch {self.epoch} done in {time.time() - t_ep:.1f}s")
         return True
+
+    def _visualize_feature(self, jbatch, step_no: int):
+        """Whitening-tap covariance images at the log cadence
+        (train.py:326-342, visualize_matrix): per tap layer, the first batch
+        element's CxC covariance rendered as RGB = [1, |clamp(|cov|,1)-1|,
+        |clamp(|cov|,1)-1|] -- white diagonal, dark off-diagonal energy."""
+        from PIL import Image
+
+        from pinthememory_tpu.models.instance_whitening import (
+            get_covariance_matrix,
+        )
+
+        if not hasattr(self, "_taps_cov_fn"):
+            model = self.model
+
+            @jax.jit
+            def taps_cov(params, stats, m_items, image):
+                out = model.apply(
+                    {"params": params, "batch_stats": stats},
+                    image, None, m_items, train=False, with_aux=False)
+                return [get_covariance_matrix(t)[:1] for t in out["taps"]]
+
+            self._taps_cov_fn = taps_cov
+
+        img = jbatch["image"]
+        img = img.reshape((-1,) + img.shape[-3:])[:1]
+        covs = self._taps_cov_fn(self.state.params, self.state.batch_stats,
+                                 self.state.m_items, img)
+        out = os.path.join(self.log.exp_dir, "covariance")
+        os.makedirs(out, exist_ok=True)
+        for li, cov in enumerate(covs):
+            m = np.clip(np.abs(np.asarray(cov[0], np.float32)), None, 1.0)
+            gb = np.abs(m - 1.0)
+            rgb = np.stack([np.ones_like(m), gb, gb], axis=-1)
+            Image.fromarray((rgb * 255).astype(np.uint8)).save(
+                os.path.join(out, f"step{step_no}_layer{li}.png"))
 
     def _dump_augmentation(self, batch):
         """Write the batch's augmented images + colorized masks as PNGs
@@ -697,7 +835,8 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
     Trainer(cfg, profile_dir=args.profile, check_nan=args.check_nan,
-            dump_aug=args.dump_augmentation_images).run()
+            dump_aug=args.dump_augmentation_images,
+            visualize_feature=args.visualize_feature).run()
 
 
 if __name__ == "__main__":

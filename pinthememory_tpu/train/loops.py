@@ -97,9 +97,11 @@ def make_train_step_agg(model, cfg: Config, tx) -> Callable:
 
     use_memory = cfg.model.memory.enabled
 
-    @functools.partial(jax.jit, static_argnames=("apply_wtloss",))
+    @functools.partial(
+        jax.jit, static_argnames=("apply_wtloss", "reduce_border"))
     def step(state: TrainState, batch: dict, rng: jax.Array,
-             wt_masks=None, apply_wtloss: bool = True):
+             wt_masks=None, apply_wtloss: bool = True,
+             reduce_border: bool = False):
         flat = _flatten_domains(batch)
         mem_t = state.m_items
 
@@ -117,7 +119,8 @@ def make_train_step_agg(model, cfg: Config, tx) -> Callable:
             )
             wt = whitening_loss_from_taps(outputs["taps"], wt_masks)
             losses = assemble_losses(cfg, outputs, flat["gts"], flat["aux_gts"],
-                                     wt_loss=wt, apply_wtloss=apply_wtloss)
+                                     wt_loss=wt, apply_wtloss=apply_wtloss,
+                                     reduce_border=reduce_border)
             return losses.total, (losses, mutated["batch_stats"])
 
         (_, (losses, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -164,7 +167,9 @@ def make_train_step_mldg(model, cfg: Config, tx) -> Callable:
     use_memory = cfg.model.memory.enabled
 
     @functools.partial(
-        jax.jit, static_argnames=("train_idx", "test_idx", "apply_wtloss")
+        jax.jit,
+        static_argnames=("train_idx", "test_idx", "apply_wtloss",
+                         "reduce_border"),
     )
     def step(
         state: TrainState,
@@ -175,6 +180,7 @@ def make_train_step_mldg(model, cfg: Config, tx) -> Callable:
         inner_lr: jnp.ndarray,
         wt_masks=None,
         apply_wtloss: bool = True,
+        reduce_border: bool = False,
     ):
         rng_inner, rng_write, rng_outer = jax.random.split(rng, 3)
         meta_train = _select_domains(batch, train_idx)
@@ -198,6 +204,7 @@ def make_train_step_mldg(model, cfg: Config, tx) -> Callable:
             losses = assemble_losses(
                 cfg, outputs, meta_train["gts"], meta_train["aux_gts"],
                 wt_loss=wt, apply_wtloss=apply_wtloss,
+                reduce_border=reduce_border,
             )
             return losses.total, (losses, mutated["batch_stats"])
 
@@ -244,7 +251,8 @@ def make_train_step_mldg(model, cfg: Config, tx) -> Callable:
             )
             wt = whitening_loss_from_taps(outputs["taps"], wt_masks)
             losses = assemble_losses(cfg, outputs, meta_test["gts"], meta_test["aux_gts"],
-                                     wt_loss=wt, apply_wtloss=apply_wtloss)
+                                     wt_loss=wt, apply_wtloss=apply_wtloss,
+                                     reduce_border=reduce_border)
             return losses.total, losses
 
         (_, outer_losses), g_outer = jax.value_and_grad(outer_loss_fn, has_aux=True)(
@@ -391,9 +399,11 @@ def make_train_step_per_domain(model, cfg: Config, tx_unscaled) -> Callable:
     use_wt = cfg.model.whitening.use_wtloss
     wt_w = cfg.model.whitening.wt_reg_weight
 
-    @functools.partial(jax.jit, static_argnames=("apply_wtloss",))
+    @functools.partial(
+        jax.jit, static_argnames=("apply_wtloss", "reduce_border"))
     def step(state: TrainState, batch: dict, rng: jax.Array,
-             wt_masks=None, apply_wtloss: bool = True):
+             wt_masks=None, apply_wtloss: bool = True,
+             reduce_border: bool = False):
         num_domains = batch["image"].shape[1]
         lr = lr_fn(state.step)
         params, stats, opt = state.params, state.batch_stats, state.opt_state
@@ -417,7 +427,8 @@ def make_train_step_per_domain(model, cfg: Config, tx_unscaled) -> Callable:
                 wt = whitening_loss_from_taps(outputs["taps"], wt_masks)
                 bundle = assemble_losses(
                     cfg, outputs, dom["gts"], dom["aux_gts"],
-                    wt_loss=wt, apply_wtloss=apply_wtloss)
+                    wt_loss=wt, apply_wtloss=apply_wtloss,
+                    reduce_border=reduce_border)
                 # robustnetver total = main + 0.4·aux + wt_reg·wt only
                 # (train.py:786-796): memory read losses are NOT summed.
                 total = bundle.main + aux_w * bundle.aux

@@ -55,6 +55,27 @@ def cross_entropy_2d(
     return jnp.sum(jnp.where(valid, nll, 0.0)) / jnp.maximum(denom, 1e-12)
 
 
+def _class_histogram(labels: jnp.ndarray, num_classes: int) -> jnp.ndarray:
+    """Scatter-free class histogram over all elements of ``labels``
+    (a 2M-index scatter-add is a serial loop on TPU, see one_hot_select)."""
+    in_range = (labels >= 0) & (labels < num_classes)
+    safe = jnp.where(in_range, labels, num_classes).reshape(-1)
+    return jnp.sum(
+        (safe[:, None] == jnp.arange(num_classes)).astype(jnp.float32),
+        axis=0)
+
+
+def _histogram_weights(hist: jnp.ndarray, upper_bound: float,
+                       norm: bool) -> jnp.ndarray:
+    """``(hist != 0) * ub * (1 - density) + 1`` (loss.py:136-146)."""
+    total = jnp.maximum(jnp.sum(hist), 1.0)
+    density = hist / total
+    if norm:
+        return jnp.where(
+            hist != 0, upper_bound / jnp.maximum(density, 1e-12), 0.0) + 1.0
+    return (hist != 0) * upper_bound * (1.0 - density) + 1.0
+
+
 def image_weighted_cross_entropy(
     logits: jnp.ndarray,
     labels: jnp.ndarray,
@@ -62,6 +83,7 @@ def image_weighted_cross_entropy(
     upper_bound: float = 1.0,
     ignore_index: int = 255,
     norm: bool = False,
+    batch_weights: bool = False,
 ) -> jnp.ndarray:
     """Per-image histogram-weighted NLL (loss.py:120-163).
 
@@ -71,23 +93,19 @@ def image_weighted_cross_entropy(
     Here the histogram is computed on device.  NB the reference histogram
     normalization is a *density* over bin width 1, i.e. hist/total counting
     every pixel (ignore pixels fall outside bins).
+
+    ``batch_weights`` (cfg.BATCH_WEIGHTING, --batch_weighting): one weight
+    vector from the WHOLE batch histogram instead of per image
+    (loss.py:151-154); the per-image losses are still summed.
     """
-    b = logits.shape[0]
+    shared_w = (_histogram_weights(_class_histogram(labels, num_classes),
+                                   upper_bound, norm)
+                if batch_weights else None)
 
     def one(lg, lb):
-        in_range = (lb >= 0) & (lb < num_classes)
-        # scatter-free histogram: one-hot compare + reduce (a 2M-index
-        # scatter-add is a serial loop on TPU, see one_hot_select)
-        safe_lb = jnp.where(in_range, lb, num_classes).reshape(-1)
-        hist = jnp.sum(
-            (safe_lb[:, None] == jnp.arange(num_classes)).astype(jnp.float32),
-            axis=0)
-        total = jnp.maximum(jnp.sum(hist), 1.0)
-        density = hist / total
-        if norm:
-            w = jnp.where(hist != 0, upper_bound / jnp.maximum(density, 1e-12), 0.0) + 1.0
-        else:
-            w = (hist != 0) * upper_bound * (1.0 - density) + 1.0
+        w = (shared_w if shared_w is not None else
+             _histogram_weights(_class_histogram(lb, num_classes),
+                                upper_bound, norm))
         return cross_entropy_2d(lg[None], lb[None], ignore_index, w)
 
     losses = jax.vmap(one)(logits, labels)
@@ -99,6 +117,8 @@ def img_wt_soft_nll(
     multihot: jnp.ndarray,
     upper_bound: float = 1.0,
     norm: bool = False,
+    batch_weights: bool = False,
+    reduce_border: bool = False,
 ) -> jnp.ndarray:
     """Border-relaxed multi-hot NLL (loss.py:182-263, ImgWtLossSoftNLL).
 
@@ -107,26 +127,43 @@ def img_wt_soft_nll(
     (ignore in the last channel).  Per-pixel: log of max(softmax,
     mask * masked-softmax-sum) summed over target classes, scaled by the
     per-image class weights and divided by the border multiplicity.
+
+    ``batch_weights`` (cfg.BATCH_WEIGHTING): one class-weight vector from
+    the whole-batch multihot histogram (loss.py:208-218, axis (0,2,3)).
+
+    ``reduce_border`` (cfg.REDUCE_BORDER_ITER < cfg.ITER, loss.py:226-228):
+    the border weights INVERT (the per-pixel scale becomes ×multiplicity
+    instead of ÷multiplicity) and the multihot target is clamped to 1 for
+    the loss terms — but the border weights and the class histogram keep
+    the pre-clamp values (with the boundary-doubled 2s), exactly as the
+    reference computes them before ``custom_nll`` mutates the target.
     """
-    t = multihot[..., :-1].astype(jnp.float32)          # (B, H, W, C)
-    border_weights = jnp.sum(t, axis=-1)                # multiplicity
+    t_orig = multihot[..., :-1].astype(jnp.float32)     # (B, H, W, C)
+    border_weights = jnp.sum(t_orig, axis=-1)           # multiplicity
     ignore = border_weights == 0
     bw = jnp.where(ignore, 1.0, border_weights)
+    t = jnp.minimum(t_orig, 1.0) if reduce_border else t_orig
 
     soft = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     masked_sum = jnp.sum(soft * t, axis=-1, keepdims=True)
     custom = jnp.log(jnp.maximum(soft, t * masked_sum) + 1e-30)
 
-    # per-image class weights from the multihot histogram (loss.py:208-218)
-    hist = jnp.sum(multihot.astype(jnp.float32), axis=(1, 2))   # (B, C+1)
-    hist = hist / jnp.maximum(jnp.sum(hist, axis=1, keepdims=True), 1.0)
+    # class weights from the PRE-CLAMP multihot histogram (loss.py:208-218)
+    if batch_weights:
+        hist = jnp.sum(multihot.astype(jnp.float32), axis=(0, 1, 2))  # (C+1,)
+        hist = hist / jnp.maximum(jnp.sum(hist), 1.0)
+        hist = hist[None]                               # (1, C+1) broadcast
+    else:
+        hist = jnp.sum(multihot.astype(jnp.float32), axis=(1, 2))    # (B, C+1)
+        hist = hist / jnp.maximum(jnp.sum(hist, axis=1, keepdims=True), 1.0)
     if norm:
         cw = jnp.where(hist != 0, upper_bound / jnp.maximum(hist, 1e-12), 0.0) + 1.0
     else:
         cw = (hist != 0) * upper_bound * (1.0 - hist) + 1.0
-    cw = cw[:, :-1][:, None, None, :]                   # (B, 1, 1, C)
+    cw = cw[:, :-1][:, None, None, :]                   # (B|1, 1, 1, C)
 
-    loss_matrix = (-1.0 / bw) * jnp.sum(t * cw * custom, axis=-1)
+    scale = bw if reduce_border else 1.0 / bw
+    loss_matrix = -scale * jnp.sum(t * cw * custom, axis=-1)
     loss_matrix = jnp.where(ignore, 0.0, loss_matrix)
 
     # reference normalizes PER IMAGE -- custom_nll is called with a batch of
@@ -149,7 +186,13 @@ class LossBundle(NamedTuple):
     cls: jnp.ndarray
 
 
-def main_criterion(cfg: Config):
+def main_criterion(cfg: Config, reduce_border: bool = False):
+    """Criterion selection (loss.py:14-43).
+
+    ``reduce_border`` is the per-epoch ``cfg.ITER > cfg.REDUCE_BORDER_ITER``
+    flip (loss.py:226, cfg.ITER updated once per epoch at train.py:147-149);
+    the trainer passes it as a static jit argument.
+    """
     t = cfg.train
 
     if t.jointwtborder:
@@ -162,14 +205,17 @@ def main_criterion(cfg: Config):
         )
 
         def crit(logits, multihot):
-            return img_wt_soft_nll(logits, multihot, t.wt_bound)
+            return img_wt_soft_nll(logits, multihot, t.wt_bound,
+                                   batch_weights=t.batch_weighting,
+                                   reduce_border=reduce_border)
 
         return crit
 
     if t.img_wt_loss:
         def crit(logits, labels):
             return image_weighted_cross_entropy(
-                logits, labels, cfg.model.num_classes, t.wt_bound
+                logits, labels, cfg.model.num_classes, t.wt_bound,
+                batch_weights=t.batch_weighting,
             )
         return crit
     weights = CLASS_WEIGHTS_19 if t.cls_wt_loss else None
@@ -198,10 +244,11 @@ def assemble_losses(
     aux_gts: jnp.ndarray,
     wt_loss: jnp.ndarray | None = None,
     apply_wtloss: bool = True,
+    reduce_border: bool = False,
 ) -> LossBundle:
     """Total-loss assembly mirroring calculate_loss (train.py:213-244)."""
     t = cfg.train
-    main = main_criterion(cfg)(outputs["main_out"], gts)
+    main = main_criterion(cfg, reduce_border)(outputs["main_out"], gts)
 
     if outputs.get("aux_out") is not None:
         aux_small = resize_labels_nearest(aux_gts, outputs["aux_out"].shape[1:3])

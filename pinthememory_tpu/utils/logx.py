@@ -51,7 +51,10 @@ class ExperimentLogger:
         try:
             from torch.utils.tensorboard import SummaryWriter  # optional
 
-            self._tb = SummaryWriter(os.path.join(self.exp_dir, "tb"))
+            # --tb_tag: run comment appended to the TB dir (utils/misc.py:128
+            # passes it as SummaryWriter(comment=...))
+            tag = getattr(cfg, "tb_tag", "") or ""
+            self._tb = SummaryWriter(os.path.join(self.exp_dir, "tb" + tag))
         except Exception:
             pass
 

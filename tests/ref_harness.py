@@ -7,8 +7,13 @@ shimming environment gaps -- CUDA, torchvision, NCCL -- WITHOUT stubbing
 anything on the numerically tested path.
 
 Shim inventory (environment gaps only):
-  - ``kmeans1d`` / ``skimage``: absent; the tested paths (eval forward, loss
-    criteria) never call into them -- import-time placeholders only.
+  - ``kmeans1d`` / ``skimage``: absent; mostly import-time placeholders --
+    EXCEPT ``skimage.segmentation.find_boundaries``, which IS on a tested
+    path (the reduce-border branch of RelaxedBoundaryLossToTensor,
+    transforms/transforms.py:130) and is implemented faithfully for the one
+    call signature the reference uses (2-D labels, mode='thick',
+    connectivity=1).  ``scipy.ndimage.interpolation`` (removed namespace)
+    re-exposes the REAL ``scipy.ndimage.shift``.
   - ``torchvision``: absent.  ``transforms.ToTensor/Normalize/Compose``
     ARE on the tested path (eval.py:362-365 builds the per-tile transform),
     so the stub implements their documented semantics faithfully:
@@ -113,7 +118,38 @@ def install_stub_modules() -> None:
                 setattr(mod, n, lambda *a, **k: None)
             setattr(sk, sub, mod)
             sys.modules[f"skimage.{sub}"] = mod
+        # find_boundaries IS on a tested path (the reduce-border branch of
+        # RelaxedBoundaryLossToTensor, transforms/transforms.py:130): provide
+        # the documented mode='thick' semantics faithfully for 2-D labels --
+        # a pixel is a boundary pixel iff any 4-neighbor (connectivity 1,
+        # the default) has a different label.
+        def _find_boundaries(label_img, connectivity=1, mode="thick",
+                             background=0):
+            assert mode == "thick" and connectivity == 1, (
+                "stub implements only the call signature the reference uses")
+            a = np.asarray(label_img)
+            b = np.zeros(a.shape, bool)
+            d = a[:-1, :] != a[1:, :]
+            b[:-1, :] |= d
+            b[1:, :] |= d
+            d = a[:, :-1] != a[:, 1:]
+            b[:, :-1] |= d
+            b[:, 1:] |= d
+            return b
+
+        sys.modules["skimage.segmentation"].find_boundaries = _find_boundaries
+        sk.segmentation.find_boundaries = _find_boundaries
         sys.modules["skimage"] = sk
+
+    # scipy removed the legacy ``scipy.ndimage.interpolation`` namespace the
+    # reference imports ``shift`` from (transforms/transforms.py:42); re-expose
+    # the REAL scipy.ndimage.shift under the old path.
+    if "scipy.ndimage.interpolation" not in sys.modules:
+        import scipy.ndimage as _ndi
+
+        legacy = types.ModuleType("scipy.ndimage.interpolation")
+        legacy.shift = _ndi.shift
+        sys.modules["scipy.ndimage.interpolation"] = legacy
 
     # Replace any earlier permissive torchvision stub with the faithful one:
     # the eval-protocol oracle RUNS ToTensor/Normalize/Compose for real.
