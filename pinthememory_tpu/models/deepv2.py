@@ -1,11 +1,14 @@
 """DeepLabV2 head: summed 4-branch ASPP, no low-level skip, OS8 only.
 
-Reference: network/deepv2.py.  Quirks preserved conceptually: whitening is
-asserted off (deepv2.py:183); the memory hook sits right after the summed
-ASPP (deepv2.py:266-273); OS8 comes from moving layer2's stride plus
-dilating layer3/4 (deepv2.py:120-133 -- the reference relocates the stride
-onto block0.conv1 of layer2, a no-op for output geometry that we express as
-the standard 'D' stage plan).
+Reference: network/deepv2.py.  Quirks preserved: whitening is asserted off
+(deepv2.py:183); the memory hook sits right after the summed ASPP
+(deepv2.py:266-273); OS8 comes from moving layer2's stride plus dilating
+layer3/4 (deepv2.py:120-133).  The reference relocates layer2 block0's
+stride onto the 1x1 conv1 (conv1.stride=2, conv2.stride=1) -- same output
+geometry as the standard plan but numerically DIFFERENT with the same
+weights (subsample before vs after the 3x3), so the backbone uses the
+"D_v2" plan whose stride_on_conv1 flag reproduces it exactly (gated against
+the real reference code in tests/test_parity_deepv2.py).
 """
 
 from __future__ import annotations
@@ -54,8 +57,11 @@ class DeepV2(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        # whitening is unsupported with DeepV2 (deepv2.py:183)
-        self.backbone = make_backbone(self.trunk, (0,) * 7, "D", self.dtype)
+        # whitening is unsupported with DeepV2 (deepv2.py:183).  "D_v2" is
+        # OS8 with the reference's layer2 stride-on-conv1 relocation
+        # (deepv2.py:122-123) -- numerically different from plain "D" with
+        # the same weights, so checkpoint parity requires it.
+        self.backbone = make_backbone(self.trunk, (0,) * 7, "D_v2", self.dtype)
         self.aspp = ASPPv2(256, dtype=self.dtype)
         self.final1_conv = conv2d(256, 3, 1, 1, dtype=self.dtype, name="final1_conv")
         self.final1_bn = batch_norm(self.dtype, name="final1_bn")

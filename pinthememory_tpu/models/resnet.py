@@ -86,6 +86,11 @@ class Bottleneck(nn.Module):
     iw: int = 0
     groups: int = 1
     base_width: int = 64
+    # DeepV2's layer2 surgery relocates the stride onto the 1x1 conv1
+    # (deepv2.py:122-123: conv1.stride=(2,2), conv2.stride=(1,1)) --
+    # numerically DIFFERENT from torchvision's stride-on-conv2 with the same
+    # weights (subsample before vs after the 3x3)
+    stride_on_conv1: bool = False
     dtype: Any = jnp.float32
 
     expansion = 4
@@ -94,13 +99,15 @@ class Bottleneck(nn.Module):
     def __call__(self, x, taps: list, train: bool):
         out_planes = self.planes * self.expansion
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
+        s1 = self.stride if self.stride_on_conv1 else 1
+        s2 = 1 if self.stride_on_conv1 else self.stride
         residual = x
-        out = conv2d(width, 1, dtype=self.dtype, name="conv1")(x)
+        out = conv2d(width, 1, s1, 0, dtype=self.dtype, name="conv1")(x)
         out = batch_norm(self.dtype, name="bn1")(out, use_running_average=not train)
         out = nn.relu(out)
         # stride and dilation both live on the 3x3, matching torchvision and
         # the reference's conv2-targeted dilation surgery.
-        out = nn.Conv(width, (3, 3), strides=(self.stride, self.stride),
+        out = nn.Conv(width, (3, 3), strides=(s2, s2),
                       padding=((self.dilation,) * 2, (self.dilation,) * 2),
                       kernel_dilation=(self.dilation, self.dilation),
                       feature_group_count=self.groups, use_bias=False,
@@ -132,6 +139,7 @@ class Stage(nn.Module):
     iw: int = 0
     groups: int = 1
     base_width: int = 64
+    stride_on_conv1: bool = False   # deepv2 layer2 quirk; block 0 only
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -141,7 +149,8 @@ class Stage(nn.Module):
         for i in range(self.num_blocks):
             kwargs = {}
             if self.block_cls is Bottleneck:
-                kwargs = dict(groups=self.groups, base_width=self.base_width)
+                kwargs = dict(groups=self.groups, base_width=self.base_width,
+                              stride_on_conv1=self.stride_on_conv1 and i == 0)
             x = self.block_cls(
                 planes=self.planes,
                 stride=self.stride if i == 0 else 1,
@@ -162,6 +171,10 @@ _VARIANT_PLANS = {
     "D4":  ((1, 1), (1, 2), (1, 4), (1, 8)),   # OS4
     "D16": ((1, 1), (2, 1), (2, 1), (1, 2)),   # OS16
     "D32": ((1, 1), (2, 1), (2, 1), (2, 1)),   # OS32 (no surgery)
+    # DeepV2's OS8 (deepv2.py:120-133): same geometry as "D", but layer2's
+    # stride is RELOCATED onto block0's 1x1 conv1 (conv1.stride=2,
+    # conv2.stride=1) -- a numeric quirk the stride_on_conv1 flag carries
+    "D_v2": ((1, 1), (2, 1), (1, 2), (1, 4)),
 }
 
 
@@ -231,6 +244,7 @@ class ResNetBackbone(nn.Module):
                 iw=wt[3 + si],
                 groups=self.groups,
                 base_width=self.base_width,
+                stride_on_conv1=self.variant == "D_v2" and si == 1,
                 dtype=self.dtype,
                 name=f"layer{si + 1}",
             )(x, taps, train)

@@ -45,6 +45,81 @@ class ConversionReport:
         return f"<ConversionReport mapped={len(self.mapped)} skipped={len(self.skipped)}>"
 
 
+def _map_mobilenet(parts, leaf, value, put) -> bool:
+    """MobileNetV2 trunk keys (reference Mobilenet.py wrapped by the
+    DeepV3Plus layer split, deepv3plus.py:259-283: layer0=f0-1, layer1=f2-6,
+    layer2=f7-10, layer3=f11-17, layer4=f18).
+
+    torchvision layouts: stem/f18 are ConvBNReLU ``{0|1}``; InvertedResidual
+    ``conv`` is [pw CBR, dw CBR, pwl conv, pwl bn] (or [dw CBR, pwl conv,
+    pwl bn] for the expand-ratio-1 f1).  Rebuild names: models/mobilenet.py
+    (f{k}/{pw,dw,pwl}_{conv,bn}).
+    """
+    L, j = parts[0], parts[1]
+    if L == "layer0" and j == "0":      # stem ConvBNReLU: layer0.0.{0|1}
+        kind = "conv" if parts[2] == "0" else "bn"
+        return put(("backbone", f"f0_{kind}"), kind, leaf, value)
+    if L == "layer4":                    # f18 ConvBNReLU: layer4.0.{0|1}
+        kind = "conv" if parts[2] == "0" else "bn"
+        return put(("backbone", f"f18_{kind}"), kind, leaf, value)
+    if parts[2] != "conv":
+        return False
+    base = {"layer0": 0, "layer1": 2, "layer2": 7, "layer3": 11}.get(L)
+    if base is None:
+        return False
+    block = f"f{base + int(j)}"
+    if block == "f1":                    # expand_ratio 1: no pw stage
+        entry = {"0": ("dw", True), "1": ("pwl_conv", False),
+                 "2": ("pwl_bn", False)}.get(parts[3])
+    else:
+        entry = {"0": ("pw", True), "1": ("dw", True),
+                 "2": ("pwl_conv", False), "3": ("pwl_bn", False)}.get(parts[3])
+    if entry is None:
+        return False
+    name, is_cbr = entry
+    if is_cbr:                           # ConvBNReLU: parts[4] = 0|1
+        kind = "conv" if parts[4] == "0" else "bn"
+        return put(("backbone", block, f"{name}_{kind}"), kind, leaf, value)
+    kind = "conv" if name.endswith("_conv") else "bn"
+    return put(("backbone", block, name), kind, leaf, value)
+
+
+def _map_shufflenet(parts, leaf, value, put) -> bool:
+    """ShuffleNetV2 trunk keys (reference Shufflenet.py wrapped by the
+    DeepV3Plus Layer0-4 classes, deepv3plus.py:121-208: layer0.layer =
+    conv1+maxpool, layer1/2/3 = stage2/3/4, layer4.layer = conv5).
+
+    Rebuild names: models/shufflenet.py (stage{s}_unit{j}/b1_*, b2_*).
+    """
+    L = parts[0]
+    if L == "layer0":                    # layer0.layer.0.{0|1}
+        if parts[1] != "layer":
+            return False
+        kind = "conv" if parts[3] == "0" else "bn"
+        return put(("backbone", "conv1" if kind == "conv" else "conv1_bn"),
+                   kind, leaf, value)
+    if L == "layer4":                    # layer4.layer.{0|1}
+        if parts[1] != "layer":
+            return False
+        kind = "conv" if parts[2] == "0" else "bn"
+        return put(("backbone", "conv5" if kind == "conv" else "conv5_bn"),
+                   kind, leaf, value)
+    stage = {"layer1": 2, "layer2": 3, "layer3": 4}.get(L)
+    if stage is None or parts[2] not in ("branch1", "branch2"):
+        return False
+    block = f"stage{stage}_unit{parts[1]}"
+    table = ({"0": ("b1_dw", "conv"), "1": ("b1_dw_bn", "bn"),
+              "2": ("b1_pw", "conv"), "3": ("b1_pw_bn", "bn")}
+             if parts[2] == "branch1" else
+             {"0": ("b2_pw1", "conv"), "1": ("b2_pw1_bn", "bn"),
+              "3": ("b2_dw", "conv"), "4": ("b2_dw_bn", "bn"),
+              "5": ("b2_pw2", "conv"), "6": ("b2_pw2_bn", "bn")})
+    entry = table.get(parts[3])
+    if entry is None:
+        return False
+    return put(("backbone", block, entry[0]), entry[1], leaf, value)
+
+
 def _stem_map(three_stem: bool) -> dict[str, str]:
     if three_stem:  # ResNet3X3 (resnet-101): Sequential indices 0,1,3,4,6,7
         return {"0": "conv1", "1": "bn1", "3": "conv2", "4": "bn2", "6": "conv3", "7": "bn3"}
@@ -66,6 +141,18 @@ def convert_state_dict(
     stats: dict = {}
     report = ConversionReport()
     stem = _stem_map(three_stem)
+    # DeepV2 sniff: its summed ASPP is an nn.ModuleList of Sequential
+    # (conv, bn, relu) under ``aspp.conv2d_list`` (deepv2.py:40-52) and its
+    # decoder is final1=Sequential(conv, bn, relu) (deepv2.py:140-143) --
+    # different key layout AND different rebuild module names than V3Plus
+    is_v2 = any("conv2d_list" in k for k in state_dict)
+    # trunk sniffs (key shapes are mutually exclusive):
+    # MobileNetV2's layer0.1 is an InvertedResidual with a .conv Sequential;
+    # ShuffleNetV2 blocks carry .branch2. and its stem is layer0.layer.*
+    is_mobilenet = any(
+        k.removeprefix("module.").startswith("layer0.1.conv.")
+        for k in state_dict)
+    is_shufflenet = any(".branch2." in k for k in state_dict)
 
     def put(path: tuple[str, ...], kind: str, leaf: str, value):
         """kind: conv|bn|dense; leaf: torch leaf name."""
@@ -105,8 +192,15 @@ def convert_state_dict(
             report.skipped.append(key)
             continue
 
+        # ---- non-ResNet trunks (distinct key shapes, see the sniffs)
+        if is_mobilenet and parts[0].startswith("layer"):
+            ok = _map_mobilenet(parts, leaf, value, put)
+
+        elif is_shufflenet and parts[0].startswith("layer"):
+            ok = _map_shufflenet(parts, leaf, value, put)
+
         # ---- backbone stem: layer0.{i}.<leaf>
-        if parts[0] == "layer0" and len(parts) == 3:
+        elif parts[0] == "layer0" and len(parts) == 3:
             idx = parts[1]
             if idx in stem:
                 name = stem[idx]
@@ -139,16 +233,24 @@ def convert_state_dict(
             elif parts[1] == "img_conv":
                 sub, kind = ("img_conv", "conv") if parts[2] == "0" else ("img_bn", "bn")
                 ok = put(("aspp", sub), kind, leaf, value)
-            elif parts[1] == "aspp":  # DeepV2 summed-ASPP branches: aspp.aspp.{k}
-                ok = put(("aspp", f"branch{parts[2]}"), "conv", leaf, value)
+            elif parts[1] == "conv2d_list":
+                # DeepV2 summed ASPP: aspp.conv2d_list.{k}.{0|1}.*
+                branch = f"branch{parts[2]}"
+                sub, kind = ((f"{branch}_conv", "conv") if parts[3] == "0"
+                             else (f"{branch}_bn", "bn"))
+                ok = put(("aspp", sub), kind, leaf, value)
 
         # ---- decoder heads
         elif parts[0] in ("bot_fine", "bot_aspp"):
             sub, kind = (f"{parts[0]}_conv", "conv") if parts[1] == "0" else (f"{parts[0]}_bn", "bn")
             ok = put((sub,), kind, leaf, value)
         elif parts[0] == "final1":
-            sub = {"0": ("final1_conv1", "conv"), "1": ("final1_bn1", "bn"),
-                   "3": ("final1_conv2", "conv"), "4": ("final1_bn2", "bn")}.get(parts[1])
+            if is_v2:  # Sequential(conv, bn, relu) -> final1_conv/final1_bn
+                sub = {"0": ("final1_conv", "conv"),
+                       "1": ("final1_bn", "bn")}.get(parts[1])
+            else:
+                sub = {"0": ("final1_conv1", "conv"), "1": ("final1_bn1", "bn"),
+                       "3": ("final1_conv2", "conv"), "4": ("final1_bn2", "bn")}.get(parts[1])
             if sub:
                 ok = put((sub[0],), sub[1], leaf, value)
         elif parts[0] == "final2":

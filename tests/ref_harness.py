@@ -202,11 +202,14 @@ def reference_env():
     set_device = torch.cuda.set_device
     init_pg = torch.distributed.init_process_group
     empty_cache = torch.cuda.empty_cache
+    current_device = torch.cuda.current_device
     torch.Tensor.cuda = lambda self, *a, **k: self
     nn.Module.cuda = lambda self, *a, **k: self
     torch.cuda.set_device = lambda *a, **k: None
     torch.distributed.init_process_group = lambda *a, **k: None
     torch.cuda.empty_cache = lambda: None
+    # cov_settings.set_mask_matrix logs behind `current_device() == 0`
+    torch.cuda.current_device = lambda: 0
     # numpy>=1.24 removed the deprecated builtin aliases the reference uses
     # (eval.py:228 divides by counts.astype(np.float)); the alias WAS the
     # builtin, so restoring it preserves the oracle's numerics exactly
@@ -223,6 +226,7 @@ def reference_env():
         torch.cuda.set_device = set_device
         torch.distributed.init_process_group = init_pg
         torch.cuda.empty_cache = empty_cache
+        torch.cuda.current_device = current_device
         for name in np_aliases:
             delattr(np, name)
 
@@ -276,11 +280,14 @@ def numpy_normed_shim():
         np.histogram = orig
 
 
-def build_reference_deepr50(memory: bool = True, num_classes: int = NUM_CLASSES,
-                            criterion=None, criterion_aux=None):
-    """Instantiate the real ``DeepR50V3PlusD`` with seeded weights/BN/memory.
+def build_reference_model(ctor: str, module: str = "deepv3plus",
+                          memory: bool = True,
+                          num_classes: int = NUM_CLASSES,
+                          criterion=None, criterion_aux=None):
+    """Instantiate a real reference constructor with seeded weights/BN/memory.
 
-    Reference: network/deepv3plus.py (class definition + forward).  Seeds are
+    ``ctor`` is a constructor name inside ``network.<module>`` (e.g.
+    ``DeepR50V3PlusD`` in deepv3plus, ``DeepR50V2D`` in deepv2).  Seeds are
     fixed so every parity test compares against the identical oracle weights.
     """
     with reference_env():
@@ -294,7 +301,7 @@ def build_reference_deepr50(memory: bool = True, num_classes: int = NUM_CLASSES,
         orig_load_url = Resnet.model_zoo.load_url
         Resnet.model_zoo.load_url = lambda *a, **k: {}
         try:
-            from network import deepv3plus
+            net_module = importlib.import_module(f"network.{module}")
 
             args = types.SimpleNamespace(
                 wt_layer=[0] * 7, use_wtloss=False, memory=memory,
@@ -303,7 +310,7 @@ def build_reference_deepr50(memory: bool = True, num_classes: int = NUM_CLASSES,
                 visualize_feature=False,
             )
             torch.manual_seed(0)
-            net = deepv3plus.DeepR50V3PlusD(
+            net = getattr(net_module, ctor)(
                 args, num_classes, criterion, criterion_aux)
         finally:
             Resnet.model_zoo.load_url = orig_load_url
@@ -318,3 +325,11 @@ def build_reference_deepr50(memory: bool = True, num_classes: int = NUM_CLASSES,
             m.running_var.uniform_(0.5, 1.5)
     net.eval()
     return net
+
+
+def build_reference_deepr50(memory: bool = True, num_classes: int = NUM_CLASSES,
+                            criterion=None, criterion_aux=None):
+    """Back-compat wrapper: the real ``DeepR50V3PlusD`` oracle."""
+    return build_reference_model(
+        "DeepR50V3PlusD", "deepv3plus", memory, num_classes,
+        criterion, criterion_aux)
