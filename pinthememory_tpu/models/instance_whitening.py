@@ -50,4 +50,7 @@ def covariance_variance_update(
     c = cov.shape[-1]
     reverse_eye = jnp.triu(jnp.ones((c, c), jnp.float32), k=1)
     off = cov * reverse_eye
-    return jnp.var(off, axis=0)
+    # torch.var default is UNBIASED (ddof=1) -- deepv3plus.py:552 uses it;
+    # a uniform B/(B-1) scale would not change the ISW mask (k-means
+    # assignments and top-k are scale-invariant) but exact parity is free
+    return jnp.var(off, axis=0, ddof=1)

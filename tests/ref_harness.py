@@ -283,12 +283,15 @@ def numpy_normed_shim():
 def build_reference_model(ctor: str, module: str = "deepv3plus",
                           memory: bool = True,
                           num_classes: int = NUM_CLASSES,
-                          criterion=None, criterion_aux=None):
+                          criterion=None, criterion_aux=None,
+                          wt_layer=None, use_wtloss: bool = False):
     """Instantiate a real reference constructor with seeded weights/BN/memory.
 
     ``ctor`` is a constructor name inside ``network.<module>`` (e.g.
     ``DeepR50V3PlusD`` in deepv3plus, ``DeepR50V2D`` in deepv2).  Seeds are
     fixed so every parity test compares against the identical oracle weights.
+    ``wt_layer``/``use_wtloss`` arm the RobustNet whitening family
+    (deepv3plus.py:457-467 builds CovMatrix_IRW/ISW per nonzero position).
     """
     with reference_env():
         from config import cfg
@@ -304,7 +307,8 @@ def build_reference_model(ctor: str, module: str = "deepv3plus",
             net_module = importlib.import_module(f"network.{module}")
 
             args = types.SimpleNamespace(
-                wt_layer=[0] * 7, use_wtloss=False, memory=memory,
+                wt_layer=list(wt_layer) if wt_layer is not None else [0] * 7,
+                use_wtloss=use_wtloss, memory=memory,
                 mem_slot=num_classes, mem_dim=256, mem_momentum=0.8,
                 mem_temp=1.0, gumbel_off=True, relax_denom=0.0, clusters=50,
                 visualize_feature=False,
