@@ -21,11 +21,16 @@ from PIL import Image
 def class_centroids_image(
     mask: np.ndarray, tile_size: int = 1024, num_classes: int = 19
 ) -> dict[int, list[tuple[int, int]]]:
-    """Per-class centroids per tile, (x, y) pixel coords like the reference."""
+    """Per-class centroids per tile, (x, y) pixel coords like the reference.
+
+    Only FULL tiles are visited (uniform.py:31-45 iterates
+    ``range(size // tile_size)``): edge remainders -- e.g. GTAV's 1914x1052
+    masks with the default 1024 tile -- contribute no centroids, and masks
+    smaller than ``tile_size`` contribute none at all."""
     h, w = mask.shape
     out: dict[int, list] = {c: [] for c in range(num_classes)}
-    for y0 in range(0, h, tile_size):
-        for x0 in range(0, w, tile_size):
+    for y0 in range(0, (h // tile_size) * tile_size, tile_size):
+        for x0 in range(0, (w // tile_size) * tile_size, tile_size):
             patch = mask[y0 : y0 + tile_size, x0 : x0 + tile_size]
             classes = np.unique(patch)
             for c in classes:

@@ -119,7 +119,6 @@ def main(argv=None):
     from pinthememory_tpu.evalx.sliding import normalize_image
     from pinthememory_tpu.models import build_model
     from pinthememory_tpu.models.memory import init_memory
-    from pinthememory_tpu.ops.resize import resize_labels_nearest
     from pinthememory_tpu.tools.tsne import TsneCollector
     from pinthememory_tpu.utils.checkpoint import load_torch_snapshot
 
@@ -153,11 +152,18 @@ def main(argv=None):
         if loaded_m is not None:
             m_items = jnp.asarray(loaded_m)
 
+    # variables/m_items are ARGUMENTS, not closure captures: closed-over
+    # arrays are inlined into the HLO as constants, and constant-folding
+    # ~40M parameters takes XLA minutes (measured 460s vs seconds on a
+    # 1-core CPU host) for zero runtime benefit here
     @jax.jit
-    def forward(raw):
+    def _forward(variables, m_items, raw):
         img = normalize_image(raw)
         return model.apply(variables, img[None], None, m_items,
                            train=False, with_aux=False)
+
+    def forward(raw):
+        return _forward(variables, m_items, raw)
 
     from pinthememory_tpu.core.labels import TRAINID_NAMES
 
@@ -193,13 +199,13 @@ def main(argv=None):
 
             out = forward(jnp.asarray(raw))
             feat = np.asarray(out["inter_feature"][0])
-            lab = np.asarray(resize_labels_nearest(jnp.asarray(gt)[None],
-                                                   feat.shape[:2])[0])
             if args.tsne:
-                collector.add_batch(feat, lab, ds_name)
+                # full-res GT: the collector upsamples the normalized
+                # features to the mask size (tsnelib.py:62-66)
+                collector.add_batch(feat, gt, ds_name)
                 if collector_updated is not None and out["mem"] is not None:
                     collector_updated.add_batch(
-                        np.asarray(out["mem"].fused[0]), lab, ds_name)
+                        np.asarray(out["mem"].fused[0]), gt, ds_name)
             if args.mem_actmap and out["mem"] is not None:
                 memact_heatmaps(
                     raw, np.asarray(out["mem"].score_memory[0]),

@@ -38,19 +38,39 @@ class TsneCollector:
         self.mem_class_ids: tuple[int, ...] = ()
 
     def add_batch(self, feats: np.ndarray, labels: np.ndarray, domain: str):
-        """feats: (H, W, D) (pre- or post-memory); labels: (H, W) trainIds
-        downsampled to feature resolution."""
+        """feats: (h, w, D) at feature resolution (pre- or post-memory);
+        labels: (H, W) FULL-RESOLUTION trainIds.
+
+        Reference semantics (tsnelib.py:48-74): L2-normalize each pixel's
+        feature vector first, bilinearly upsample (align_corners=True) to the
+        GT resolution, then take GT-masked per-class means; ignore=255 maps
+        to the extra one-hot slot and is never a selected class.  The class
+        means are stored UN-normalized -- the draw path re-normalizes
+        (tsnelib.py:90), mirrored in :meth:`embed`."""
+        import jax.numpy as jnp
+
+        from pinthememory_tpu.ops.resize import resize_bilinear_align_corners
+
         feats = np.asarray(feats, np.float32)
         labels = np.asarray(labels)
+        # F.normalize(dim=1): v / max(||v||, eps), eps=1e-12
+        norm = np.linalg.norm(feats, axis=-1, keepdims=True)
+        feats = feats / np.maximum(norm, 1e-12)
+        H, W = labels.shape
+        if feats.shape[:2] != (H, W):
+            feats = np.asarray(
+                resize_bilinear_align_corners(jnp.asarray(feats)[None], (H, W))[0])
+        lab = labels.astype(np.int64).copy()
+        lab[lab == self.ignore_label] = self.num_classes
+        flat = feats.reshape(-1, feats.shape[-1])
+        labf = lab.reshape(-1)
         for c in self.selected:
-            m = labels == c
-            if m.sum() < 1:
+            m = labf == c
+            cnt = int(m.sum())
+            if cnt == 0:
                 continue
-            v = feats[m].mean(0)
-            n = np.linalg.norm(v)
-            if n > 0:
-                v = v / n
-            self.features.append(v)
+            v = flat[m].sum(0) / cnt
+            self.features.append(v.astype(np.float32))
             self.class_ids.append(c)
             self.domains.append(domain)
 
@@ -66,6 +86,11 @@ class TsneCollector:
         from sklearn.manifold import TSNE
 
         feats = np.stack(self.features)
+        # draw-time re-normalization of the stored class means
+        # (tsnelib.py:90); memory slots stay as-is (rows are unit by
+        # construction, tsnelib.py:95)
+        feats = feats / np.maximum(
+            np.linalg.norm(feats, axis=1, keepdims=True), 1e-12)
         n_base = len(feats)
         if self.mem_items is not None:
             feats = np.concatenate([feats, self.mem_items], axis=0)
