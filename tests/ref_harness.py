@@ -92,9 +92,19 @@ class _ToPILImage:
         return Image.fromarray(arr)
 
 
+def _module_getattr(attr: str):
+    """PEP-562 fallback for permissive stub modules.  Dunders must raise:
+    ``inspect.getmodule`` walks sys.modules probing ``__file__`` on every
+    module, and a callable ``__file__`` crashes it (seen via torch's lazy
+    ``_functional_collectives`` import)."""
+    if attr.startswith("__") and attr.endswith("__"):
+        raise AttributeError(attr)
+    return lambda *a, **k: None
+
+
 def _permissive(name: str) -> types.ModuleType:
     mod = types.ModuleType(name)
-    mod.__getattr__ = lambda attr: (lambda *a, **k: None)
+    mod.__getattr__ = _module_getattr
     return mod
 
 
@@ -164,7 +174,7 @@ def install_stub_modules() -> None:
         tr.ToTensor = _ToTensor
         tr.Normalize = _Normalize
         tr.ToPILImage = _ToPILImage
-        tr.__getattr__ = lambda attr: (lambda *a, **k: None)
+        tr.__getattr__ = _module_getattr
         trf = _permissive("torchvision.transforms.functional")
         tr.functional = trf
         tv.transforms = tr
