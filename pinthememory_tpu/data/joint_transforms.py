@@ -159,7 +159,8 @@ class RandomRotate:
 
 
 class Scale:
-    """Scale shorter side to ``size`` keeping aspect (joint_transforms.py)."""
+    """Scale the LONGER side to ``size`` keeping aspect
+    (joint_transforms.py:260-281)."""
 
     def __init__(self, size):
         self.size = size
