@@ -71,9 +71,12 @@ class ColorJitter:
 
 
 def _adjust_hue(img: Image.Image, factor: float) -> Image.Image:
-    """Shift hue by ``factor`` (in turns), torchvision-style."""
-    if abs(factor) < 1e-8:
-        return img
+    """Shift hue by ``factor`` (in turns), torchvision-style.
+
+    No zero-factor shortcut: the reference (transforms.py:311-316) always
+    performs the RGB->HSV->RGB round trip when the hue op runs, and that
+    round trip is LOSSY -- pixel parity requires doing it even for
+    factor 0."""
     h, s, v = img.convert("HSV").split()
     np_h = np.array(h, dtype=np.uint8)
     np_h = (np_h.astype(np.int16) + int(factor * 255)) % 256

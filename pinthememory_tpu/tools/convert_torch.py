@@ -310,6 +310,65 @@ def load_reference_checkpoint(path: str, three_stem: bool = False):
     return convert_state_dict(state_dict, three_stem=three_stem, memory=memory)
 
 
+def convert_optimizer_state(ckpt: Mapping[str, Any], three_stem: bool = False):
+    """Convert the torch-SGD + LambdaLR payload of a reference checkpoint
+    (saved as ``'optimizer'``/``'scheduler'``/``'epoch'``/``'mean_iu'``,
+    utils/misc.py:206-212; restored by optimizer.py:45-56) into the
+    rebuild's optax pieces.
+
+    Returns ``(momenta, count, epoch, mean_iu, report)``:
+      - ``momenta``: SGD momentum buffers as a params-shaped nested dict.
+        torch indexes optimizer state by position in ``named_parameters()``
+        order, which equals the state_dict's parameter order (per module,
+        ``_parameters`` precede ``_buffers``); each buffer has its
+        parameter's shape, so it converts through the SAME
+        :func:`convert_state_dict` machinery keyed by the parameter name
+        (transposes ride along).
+      - ``count``: LambdaLR ``last_epoch`` = number of scheduler.step()
+        calls = training iterations taken (train.py:370/483/624/721 step it
+        once per iteration) -- becomes the optax schedule count AND the
+        resume iteration (reference resume: ``i = epoch * len(loader)``,
+        train.py:111-118).
+    """
+    sd = ckpt.get("state_dict", {})
+    opt_sd = ckpt.get("optimizer") or {}
+    buffer_leaves = ("running_mean", "running_var", "num_batches_tracked")
+    param_keys = [
+        k for k in sd
+        if not k.endswith(buffer_leaves)
+        # criterion modules registered on the net contribute BUFFERS only
+        # (CrossEntropyLoss class-weight), never optimizer params
+        and ".criterion" not in k and not k.startswith("criterion")
+    ]
+    idx2key: dict[int, str] = {}
+    n = 0
+    for group in opt_sd.get("param_groups", []):
+        for idx in group.get("params", []):
+            if n < len(param_keys):
+                idx2key[int(idx)] = param_keys[n]
+            n += 1
+
+    mom_sd: dict[str, Any] = {}
+    for idx, st in (opt_sd.get("state") or {}).items():
+        buf = st.get("momentum_buffer")
+        if buf is None:
+            continue
+        key = idx2key.get(int(idx))
+        if key is not None:
+            mom_sd[key] = (buf.cpu().numpy() if hasattr(buf, "cpu")
+                           else np.asarray(buf))
+    momenta, mom_stats, _m, report = convert_state_dict(
+        mom_sd, three_stem=three_stem)
+    # a momentum buffer that converts into batch_stats would mean the index
+    # mapping slipped onto a BN running stat -- that must never happen
+    assert not any(mom_stats.values()), "momentum buffer mapped to a buffer path"
+
+    sched = ckpt.get("scheduler") or {}
+    count = int(sched.get("last_epoch", 0))
+    return (momenta, count, int(ckpt.get("epoch", 0)),
+            float(ckpt.get("mean_iu", 0.0)), report)
+
+
 def convert_torchvision_trunk(
     state_dict: Mapping[str, Any],
     three_stem: bool = False,

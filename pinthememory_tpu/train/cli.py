@@ -392,6 +392,23 @@ class Trainer:
             self.log.info(f"restored torch snapshot {cfg.snapshot}: {report}")
 
         self.state, self.tx = create_train_state(cfg, variables, m_items)
+        self._resume_epoch = 0
+
+        if cfg.snapshot and not resume_native and cfg.restore_optimizer:
+            # torch .pth resume with optimizer: momentum buffers + the
+            # LambdaLR step (= iterations taken) carry over, and training
+            # resumes from the saved epoch (optimizer.py:45-56 +
+            # train.py:111-118's i = epoch * len(loader))
+            from pinthememory_tpu.utils.checkpoint import load_torch_optimizer_state
+
+            opt_state, count, epoch, mean_iu = load_torch_optimizer_state(
+                cfg.snapshot, self.state.params, self.tx, three_stem=False)
+            self.state = self.state.replace(
+                opt_state=opt_state, step=jnp.asarray(count, jnp.int32))
+            self._resume_epoch = epoch
+            self.log.info(
+                f"restored torch optimizer state: step={count} epoch={epoch} "
+                f"mean_iu={mean_iu:.4f}")
 
         if resume_native:
             # resume a native msgpack checkpoint; --restore_optimizer keeps
@@ -401,6 +418,7 @@ class Trainer:
             loaded, meta = load_state(cfg.snapshot, self.state)
             if cfg.restore_optimizer:
                 self.state = loaded
+                self._resume_epoch = int(meta.get("epoch", 0))
             else:
                 self.state = self.state.replace(
                     params=loaded.params, batch_stats=loaded.batch_stats,
@@ -442,7 +460,9 @@ class Trainer:
             self.covstat_step = make_covstat_step(self.model)
         self.lr_fn = lr_schedule(cfg.optim)
         self.ckpt_mgr = CheckpointManager(self.log.exp_dir)
-        self.epoch = 0
+        # epoch resumes only under --restore_optimizer (train.py:111-118:
+        # without it the reference resets epoch to 0)
+        self.epoch = self._resume_epoch
         self.rng = jax.random.PRNGKey(cfg.train.seed + 1)
         self.np_rng = np.random.default_rng(cfg.train.seed + 2)
         # image_uniform_sampling concatenates domains with no leading domain

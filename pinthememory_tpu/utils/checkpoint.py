@@ -84,3 +84,38 @@ def load_torch_snapshot(path: str, variables: dict, three_stem: bool = False):
     params, stats, m_items, report = load_reference_checkpoint(path, three_stem)
     merged = merge_into_variables(variables, params, stats)
     return merged, (None if m_items is None else np.asarray(m_items)), report
+
+
+def load_torch_optimizer_state(path: str, params, tx, three_stem: bool = False):
+    """Restore the torch SGD momentum + LambdaLR step of a reference
+    ``.pth`` into an optax opt_state (``--restore_optimizer`` semantics,
+    optimizer.py:45-56 + train.py:111-118).
+
+    Returns ``(opt_state, count, epoch, mean_iu)`` where ``count`` is the
+    iteration counter driving both the LR schedule and the max_iter gate.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from pinthememory_tpu.tools.convert_torch import (
+        _torch_load_safe,
+        convert_optimizer_state,
+        merge_into_variables,
+    )
+
+    ckpt = _torch_load_safe(path)
+    momenta, count, epoch, mean_iu, _report = convert_optimizer_state(
+        ckpt, three_stem=three_stem)
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    trace = merge_into_variables({"params": zeros}, momenta, {})["params"]
+
+    opt_state = tx.init(params)
+    rebuilt = []
+    for el in opt_state:
+        if isinstance(el, optax.TraceState):
+            el = optax.TraceState(trace=trace)
+        elif isinstance(el, optax.ScaleByScheduleState):
+            el = optax.ScaleByScheduleState(count=jnp.asarray(count, jnp.int32))
+        rebuilt.append(el)
+    return tuple(rebuilt), count, epoch, mean_iu

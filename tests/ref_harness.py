@@ -80,6 +80,17 @@ class _Normalize:
         return (t - self.mean) / self.std
 
 
+class _Lambda:
+    """torchvision.transforms.Lambda: apply a user function (used by the
+    reference ColorJitter.get_params, transforms/transforms.py:349-366)."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def __call__(self, x):
+        return self.fn(x)
+
+
 class _ToPILImage:
     """CHW float tensor in [0,1] -> PIL RGB (torchvision: mul(255).byte())."""
 
@@ -174,6 +185,7 @@ def install_stub_modules() -> None:
         tr.ToTensor = _ToTensor
         tr.Normalize = _Normalize
         tr.ToPILImage = _ToPILImage
+        tr.Lambda = _Lambda
         tr.__getattr__ = _module_getattr
         trf = _permissive("torchvision.transforms.functional")
         tr.functional = trf
