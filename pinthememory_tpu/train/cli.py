@@ -811,6 +811,11 @@ class Trainer:
                 hist = self._global_hist(hist)
                 results[name] = mean_iu(hist)
                 self.log.info(f"val {name}: mIoU {results[name] * 100:.2f}")
+                # per-dataset val scalar (utils/misc.py:266-269 writes
+                # mean_iu to the TB writer per val set)
+                self.log.scalars(int(self.state.step),
+                                 {"mean_iu": results[name]},
+                                 prefix=f"val_{name}")
                 self.ckpt_mgr.maybe_save_best(self.state, name, self.epoch, results[name])
         return results
 

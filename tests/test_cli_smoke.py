@@ -12,7 +12,9 @@ from __future__ import annotations
 
 import glob
 import json
+import math
 import os
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -46,11 +48,15 @@ def test_train_cli_end_to_end(tmp_path):
     # scalars.jsonl carries train losses and a finite validation mIoU
     scalar_files = glob.glob(str(ckpt / "**" / "scalars.jsonl"), recursive=True)
     assert scalar_files
-    rows = [json.loads(l) for f in scalar_files for l in open(f)]
+    rows = [json.loads(l)
+            for f in scalar_files
+            for l in Path(f).read_text().splitlines()]
     assert rows, "no scalars logged"
-    miou = [r for r in rows if "mean_iu" in r or "val/mean_iu" in r.get("tag", "")]
+    miou = [v for r in rows for k, v in r.items() if k.endswith("mean_iu")]
     losses = [r for r in rows if any("loss" in str(k) for k in r)]
-    assert losses or miou, f"no loss/mIoU scalars in {rows[:3]}"
+    assert losses, f"no loss scalars in {rows[:3]}"
+    assert miou, f"no val mean_iu scalar in {rows[:3]}"
+    assert all(math.isfinite(v) for v in miou), miou
 
     # the checkpoint restores into the eval CLI (native msgpack path)
     from pinthememory_tpu.evalx import cli as eval_cli
