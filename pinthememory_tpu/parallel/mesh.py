@@ -37,6 +37,40 @@ def make_mesh(
     return Mesh(arr, names)
 
 
+def validate_spatial_training(crop_size: int, spatial: int,
+                              max_output_stride: int = 32,
+                              min_rows: int = 2) -> None:
+    """Reject spatial-mesh TRAINING configs in XLA's broken-backward corner.
+
+    Measured on the 8-device CPU mesh (jax 0.9.0): when a spatially-sharded
+    conv's output has only ONE row per device, the GSPMD backward of the
+    pattern ``conv3x3(s2) -> conv3x3(s1)`` summed with a parallel strided
+    conv (every ResNet downsampling block) returns gradients that are wrong
+    by O(1) relative -- deterministically, with the forward bit-exact.
+    Minimal repro and sweep: tests/test_sharded_equivalence.py.  With >= 2
+    rows per device at every feature level the full train step matches the
+    single-device step to reduction noise (~1e-5, same as the data axis).
+
+    The smallest feature map is crop_size / max_output_stride (the trunk's
+    deepest stage; 32 covers the D32 archs -- D16/D8 are larger), so the
+    constraint is crop_size >= max_output_stride * min_rows * spatial.
+    Every real recipe (crop 768, spatial <= 8) satisfies it comfortably;
+    only toy shapes can violate it, and loudly.
+    """
+    if spatial <= 1:
+        return
+    min_extent = crop_size // max_output_stride
+    if min_extent < min_rows * spatial:
+        raise ValueError(
+            f"spatial={spatial} sharding of crop {crop_size} puts "
+            f"{min_extent / spatial:.1f} rows of the deepest feature map "
+            f"(stride {max_output_stride}) on each device; XLA's GSPMD "
+            f"backward is numerically wrong below {min_rows} rows/device "
+            "(see parallel/mesh.py:validate_spatial_training).  Use a "
+            f"larger crop (>= {max_output_stride * min_rows * spatial}) or "
+            "fewer spatial shards.")
+
+
 def batch_sharding(mesh: Mesh, batch: dict) -> dict:
     """Sharding specs for a train batch: B over data, H over spatial.
 
