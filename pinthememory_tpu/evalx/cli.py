@@ -77,6 +77,12 @@ def build_parser():
                         "(GSPMD data axis; the reference's DDP eval + hist "
                         "all-reduce, eval.py:123-127). eval_batch becomes "
                         "the per-device batch")
+    p.add_argument("--spatial", type=int, default=1,
+                   help="with --data_parallel: shard each image's H over a "
+                        "spatial mesh axis of this size (GSPMD halo "
+                        "exchange; splits the scale-2.0 HBM working set "
+                        "across the spatial group -- BASELINE.md 5b). "
+                        "devices = data x spatial")
     p.add_argument("--model_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     # reference flag-surface parity -------------------------------------
@@ -266,21 +272,16 @@ def main(argv=None):
     batch_n = max(args.eval_batch, 1) if batched else 1
     mesh = None
     if args.data_parallel and batched:
-        if args.scale_batch:
-            # scale_batch slices the super-batch across shard boundaries,
-            # forcing reshards that defeat data parallelism -- per-device
-            # dispatch amortization comes from eval_batch itself here
-            raise SystemExit(
-                "--data_parallel and --scale_batch are incompatible: "
-                "per-scale chunking would slice across shard boundaries; "
-                "raise --eval_batch (per-device batch) instead")
         from pinthememory_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh(jax.devices(), spatial=1)
+        # scale_batch caps compose with sharding now: predict_batch_sharded
+        # chunks per data row and redistributes each chunk over the mesh
+        mesh = make_mesh(jax.devices(), spatial=max(args.spatial, 1))
         ndev = mesh.shape["data"]
         batch_n = max(batch_n, 1) * ndev
-        print(f"data-parallel eval over {ndev} devices "
-              f"(global batch {batch_n})")
+        print(f"data{'x spatial' if args.spatial > 1 else ''}-parallel eval "
+              f"over {len(jax.devices())} devices (mesh {dict(mesh.shape)}, "
+              f"global batch {batch_n})")
 
     def flush(group, hist, raws_dev=None):
         """Run one same-shape group; hist stays on device (no sync)."""
@@ -325,7 +326,9 @@ def main(argv=None):
         if mesh is not None and len(group) % mesh.shape["data"] == 0:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            return jax.device_put(arr, NamedSharding(mesh, P("data")))
+            spec = (P("data", "spatial") if mesh.shape.get("spatial", 1) > 1
+                    else P("data"))
+            return jax.device_put(arr, NamedSharding(mesh, spec))
         return jax.device_put(arr)
 
     # lag-one flush with async upload: when a group completes, its stacked

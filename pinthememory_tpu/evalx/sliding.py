@@ -248,34 +248,61 @@ class SlidingEvaluator:
             acc = out if acc is None else acc + out
         return jnp.argmax(acc, axis=-1).astype(jnp.uint8)
 
-    def predict_batch_sharded(self, raw_imgs, mesh) -> jnp.ndarray:
-        """Data-parallel batched prediction over a device mesh.
+    def predict_batch_sharded(self, raw_imgs, mesh,
+                              spatial: bool | None = None) -> jnp.ndarray:
+        """Data x spatial parallel batched prediction over a device mesh.
 
-        The image batch is sharded over the mesh's ``data`` axis and the
-        same vmapped per-scale programs run under GSPMD -- each device
-        evaluates its shard of images, no cross-device communication until
-        the caller reduces (e.g. a global confusion matrix, where XLA
-        inserts the psum).  TPU-native replacement for the reference's
+        The image batch is sharded over the mesh's ``data`` axis (each
+        device evaluates its images; no cross-device communication until the
+        caller reduces, e.g. a global confusion matrix where XLA inserts the
+        psum) -- the TPU-native replacement for the reference's
         multi-process DDP eval (eval.py:123-127) + hist all-reduce.
 
-        Per-scale ``scale_batch`` caps are ignored here: the shard is the
-        per-device batch, so dispatch amortization comes from the batch
-        size itself (use n_images >= n_devices * desired_per_device).
+        When the mesh has a ``spatial`` axis (and ``spatial`` is not
+        explicitly False), each image's H dimension is additionally sharded
+        over it: GSPMD partitions the resize matmuls, the tile programs and
+        the merged full-resolution logit accumulators across the spatial
+        group with automatic halo exchange -- the context-parallel analogue
+        for the scale-2.0 HBM wall (BASELINE.md 5b: ~2.9 GB of tile logits
+        per 2 images at 2048x1024; an H-sharded spatial group splits that
+        working set instead of replicating it).  Predictions are verified
+        exactly equal to the unsharded program (tests/test_evalx.py).
+
+        Per-scale ``scale_batch`` caps apply per data-axis shard: with
+        ``{2.0: 2}`` and a data axis of 4, a 16-image super-batch runs the
+        scale-2.0 program on 8 images at a time (2 per data row), the
+        others on all 16.
         """
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         n = raw_imgs.shape[0]
         ndev = int(np.prod([mesh.shape[a] for a in ("data",) if a in mesh.shape]))
         assert n % ndev == 0, f"batch {n} not divisible by data axis {ndev}"
-        sharding = NamedSharding(mesh, P("data"))
+        n_sp = int(mesh.shape.get("spatial", 1))
+        use_spatial = n_sp > 1 if spatial is None else (spatial and n_sp > 1)
+        spec = P("data", "spatial") if use_spatial else P("data")
+        sharding = NamedSharding(mesh, spec)
         # already-uploaded shards (evalx.cli's async lag-one upload) pass
         # through; device_put with an equal sharding is a no-op
         dev = jax.device_put(raw_imgs, sharding)
         img_h, img_w = raw_imgs.shape[1:3]
         acc = None
         for scale in self.scales:
-            run = self._batch_program(n, img_h, img_w, scale)
-            out = run(dev)
+            cap = n
+            if self.scale_batch:
+                per_row = max(1, int(self.scale_batch.get(scale, n)))
+                cap = max(ndev, min(per_row * ndev, n))
+                cap -= cap % ndev  # chunks stay data-axis divisible
+            outs = []
+            for i in range(0, n, cap):
+                chunk = dev[i:i + cap]
+                if chunk.shape[0] != n:
+                    # a slice of the data-sharded batch lives on a SUBSET of
+                    # the data rows; redistribute so every device works
+                    chunk = jax.device_put(chunk, sharding)
+                run = self._batch_program(chunk.shape[0], img_h, img_w, scale)
+                outs.append(run(chunk))
+            out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
             acc = out if acc is None else acc + out
         return jnp.argmax(acc, axis=-1).astype(jnp.uint8)
 

@@ -15,7 +15,15 @@ from dataclasses import asdict, is_dataclass
 
 
 def exp_name_from_config(cfg) -> str:
-    """Compact experiment tag (spirit of utils/misc.py:24-63)."""
+    """Compact human-readable run tag, logged for convenience.
+
+    NB: the reference's ``make_exp_name`` (utils/misc.py:24-63, non-default
+    args mangled into a string) is computed but DEAD -- ``prep_experiment``
+    never uses its result and lays out directories as
+    ``ckpt/date/args.exp/<MM_DD_HH>`` (utils/misc.py:100-103).  The rebuild
+    follows the *live* layout (see ExperimentLogger) and keeps this readable
+    tag only as an informational log line.
+    """
     parts = [
         cfg.model.arch,
         "+".join(cfg.data.dataset),
@@ -29,10 +37,17 @@ def exp_name_from_config(cfg) -> str:
 
 
 class ExperimentLogger:
+    """Reference directory layout (utils/misc.py:100-103):
+    ``ckpt/<date>/<exp>/<MM_DD_HH>`` for logs+checkpoints and
+    ``tb_path/<date>/<exp>/<MM_DD_HH>`` for TensorBoard."""
+
     def __init__(self, cfg, exp_dir: str | None = None):
-        name = exp_name_from_config(cfg)
         stamp = time.strftime("%m_%d_%H")
-        self.exp_dir = exp_dir or os.path.join(cfg.ckpt, cfg.date, name, stamp)
+        self.exp_dir = exp_dir or os.path.join(cfg.ckpt, cfg.date, cfg.exp, stamp)
+        self.tb_dir = os.path.join(
+            getattr(cfg, "tb_path", None) or self.exp_dir,
+            cfg.date, cfg.exp, stamp) if exp_dir is None else os.path.join(
+            self.exp_dir, "tb")
         os.makedirs(self.exp_dir, exist_ok=True)
 
         self.logger = logging.getLogger("pinmem")
@@ -54,9 +69,10 @@ class ExperimentLogger:
             # --tb_tag: run comment appended to the TB dir (utils/misc.py:128
             # passes it as SummaryWriter(comment=...))
             tag = getattr(cfg, "tb_tag", "") or ""
-            self._tb = SummaryWriter(os.path.join(self.exp_dir, "tb" + tag))
+            self._tb = SummaryWriter(self.tb_dir + tag)
         except Exception:
             pass
+        self.info(f"run tag: {exp_name_from_config(cfg)}")
 
         cfg_dict = asdict(cfg) if is_dataclass(cfg) else dict(cfg)
         with open(os.path.join(self.exp_dir, "config.json"), "w") as f:

@@ -239,3 +239,50 @@ def test_fast_merge_falls_back_on_indivisible_grid():
                           overlap=1 / 3, scales=(1.0,), flip=False)
     out = np.asarray(ev.predict_logits(raw))   # 30/4 etc. not divisible
     assert out.shape == (50, 70, 19)
+
+
+def test_batch_sharded_spatial_matches_unsharded():
+    """data x spatial sharded eval (H split over the spatial axis, halo
+    exchange through the tile programs) must produce exactly the unsharded
+    predictions, with and without per-scale scale_batch caps."""
+    from pinthememory_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(13)
+    raws = rng.integers(0, 255, (8, 64, 96, 3), dtype=np.uint8)
+
+    def model(tiles):
+        base = jnp.concatenate([tiles, -tiles, tiles[..., ::-1]], axis=-1)
+        return jnp.concatenate([base, base, base], axis=-1)[..., :19]
+
+    kw = dict(crop_size=32, overlap=1 / 3, scales=(0.5, 1.0, 2.0), flip=True)
+    ev = SlidingEvaluator(model, **kw)
+    mesh = make_mesh(jax.devices()[:8], spatial=2)
+    a = np.asarray(ev.predict_batch_device(jnp.asarray(raws)))
+    b = np.asarray(ev.predict_batch_sharded(raws, mesh))
+    np.testing.assert_array_equal(a, b)
+
+    # caps per data row: scale-2.0 runs 4 images/dispatch (1 x 4 rows)
+    capped = SlidingEvaluator(model, scale_batch={2.0: 1, 1.0: 2}, **kw)
+    c = np.asarray(capped.predict_batch_sharded(raws, mesh))
+    np.testing.assert_array_equal(a, c)
+
+    # real trunk: spatially sharded R18 forward through the full sliding
+    # program (conv halo exchange), exact vs the single-device program
+    import functools
+
+    from pinthememory_tpu.models.resnet import resnet18
+
+    bb = resnet18()
+    v = jax.jit(functools.partial(bb.init, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+
+    def trunk_apply(tiles):
+        out, _ = bb.apply(v, tiles, train=False, mutable=[])
+        logits = out["out"][..., :19]
+        return jax.image.resize(logits, tiles.shape[:3] + (19,), "bilinear")
+
+    ev2 = SlidingEvaluator(trunk_apply, crop_size=32, overlap=1 / 3,
+                           scales=(1.0,), flip=False)
+    a2 = np.asarray(ev2.predict_batch_device(jnp.asarray(raws)))
+    b2 = np.asarray(ev2.predict_batch_sharded(raws, mesh))
+    np.testing.assert_array_equal(a2, b2)

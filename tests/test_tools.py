@@ -112,3 +112,27 @@ def test_ablation_cli_writes_pre_and_post_memory_tsne(tmp_path):
     assert len(pre_col.features) == len(post_col.features)
     d = np.abs(np.stack(pre_col.features) - np.stack(post_col.features))
     assert d.max() > 1e-3  # the read actually refined the features
+
+
+def test_exp_dir_layout_matches_reference(tmp_path):
+    """prep_experiment lays out ckpt/<date>/<exp>/<MM_DD_HH> and
+    tb_path/<date>/<exp>/<MM_DD_HH> (utils/misc.py:100-103); the derived
+    make_exp_name string is computed but dead there -- the rebuild follows
+    the live layout."""
+    import os
+    import re
+    import time
+
+    from pinthememory_tpu.core.config import Config
+    from pinthememory_tpu.utils.logx import ExperimentLogger
+
+    cfg = Config(exp="myexp", date="0707", ckpt=str(tmp_path / "ck"),
+                 tb_path=str(tmp_path / "tb"))
+    log = ExperimentLogger(cfg)
+    rel = os.path.relpath(log.exp_dir, str(tmp_path / "ck"))
+    parts = rel.split(os.sep)
+    assert parts[:2] == ["0707", "myexp"], parts
+    assert re.fullmatch(r"\d\d_\d\d_\d\d", parts[2]), parts
+    assert parts[2] == time.strftime("%m_%d_%H")
+    rel_tb = os.path.relpath(log.tb_dir, str(tmp_path / "tb"))
+    assert rel_tb.split(os.sep)[:2] == ["0707", "myexp"], rel_tb
