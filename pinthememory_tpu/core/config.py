@@ -129,6 +129,9 @@ class TrainConfig:
     # at the end): save a 'last' checkpoint every N epochs so preemptible
     # runs can resume
     snapshot_every: int = 0
+    # --epoch_per_val: declared but dead in the reference (train.py:1174);
+    # functional here -- validate every N epochs (0 = end only)
+    epoch_per_val: int = 0
     seed: int = 0
 
 

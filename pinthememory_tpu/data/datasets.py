@@ -326,6 +326,82 @@ class NullLoader(SegmentationDataset):
         raise NotImplementedError
 
 
+class ShapesLoader(SegmentationDataset):
+    """Signal-bearing synthetic fixture: colored rectangles/disks on a gray
+    background, class recoverable from color alone.
+
+    The reference's only synthetic fixture is the zeros NullLoader, so
+    nothing there can demonstrate that the assembled trainer *optimizes*
+    (its proof was the released checkpoints, README.md:135-138).  This
+    dataset carries real signal -- a trivially learnable color->class map
+    plus mild sensor noise -- so the learnability gate
+    (tests/test_learnability.py) can overfit the flagship recipe shape
+    end-to-end through the CLI and assert val mIoU far above chance.
+    """
+
+    # background (class 0) is gray; classes 1..5 get well-separated colors
+    PALETTE = np.array([
+        [96, 96, 96], [220, 40, 40], [40, 200, 60], [50, 80, 220],
+        [230, 220, 50], [200, 60, 200],
+    ], np.float32)
+
+    DEFAULT_LENGTH = 2975  # reference epoch length; tests shrink this
+
+    def __init__(self, crop_size: int = 768, length: int | None = None,
+                 classes: int = 5, **kw):
+        kw.setdefault("mode", "train")
+        super().__init__(**kw)
+        self.crop_size = crop_size
+        self.classes = min(classes, len(self.PALETTE))
+        length = self.DEFAULT_LENGTH if length is None else length
+        self.length = length if self.mode == "train" else max(8, length // 256)
+        self.imgs = [("shapes", "shapes")] * self.length
+
+    def __len__(self):
+        return self.length
+
+    def _render(self, rng: np.random.Generator):
+        c = self.crop_size
+        img = np.full((c, c, 3), self.PALETTE[0], np.float32)
+        mask = np.zeros((c, c), np.uint8)
+        yy, xx = np.mgrid[0:c, 0:c]
+        for _ in range(int(rng.integers(4, 8))):
+            cls = int(rng.integers(1, self.classes))
+            cy, cx = (int(v) for v in rng.integers(0, c, 2))
+            r = int(rng.integers(max(2, c // 10), max(3, c // 3)))
+            if rng.integers(0, 2) == 0:
+                sel = (np.abs(yy - cy) <= r) & (np.abs(xx - cx) <= r)
+            else:
+                sel = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+            img[sel] = self.PALETTE[cls]
+            mask[sel] = cls
+        img = img + rng.normal(0.0, 8.0, img.shape)
+        return np.clip(img, 0, 255).astype(np.uint8), mask
+
+    def __getitem__(self, index):
+        from pinthememory_tpu.data import transforms as xt
+
+        # val items draw from a disjoint stream (mode mixed into the seed)
+        salt = 0 if self.mode == "train" else 7_777_777
+        rng = np.random.default_rng(
+            ((self.seed + salt) * 1_000_003 + self.epoch) * 1_000_003 + index)
+        raw, mask = self._render(rng)
+        name = f"shapes_{self.mode}_{index}"
+        if self.eval_mode == "aug_pair":
+            f = xt.normalize(xt.to_float01(raw), image_in=self.image_in)
+            bright = np.clip(raw.astype(np.float32) * 1.2, 0, 255).astype(np.uint8)
+            fb = xt.normalize(xt.to_float01(bright), image_in=self.image_in)
+            return f.astype(np.float32), fb.astype(np.float32), f[:, ::-1].copy(), name
+        if self.eval_mode:
+            return raw, mask.astype(np.int32), name
+        img = xt.normalize(xt.to_float01(raw), image_in=self.image_in)
+        m = mask.astype(np.int32)
+        return img.astype(np.float32), m, name, m.copy()
+
+    def decode_mask(self, mask_path):
+        raise NotImplementedError
+
+
 def _read_uint16_png(path: str) -> np.ndarray:
     """Read a 16-bit PNG (Synthia GT) without imageio's FreeImage plugin."""
     img = Image.open(path)
@@ -343,4 +419,5 @@ DATASETS = {
     "kitti": (KITTI, "kitti"),
     "camvid": (CamVid, "camvid"),
     "null_loader": (NullLoader, None),
+    "shapes_loader": (ShapesLoader, None),
 }

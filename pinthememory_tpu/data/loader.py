@@ -21,7 +21,7 @@ import numpy as np
 from pinthememory_tpu.core.config import Config
 from pinthememory_tpu.data import joint_transforms as jt
 from pinthememory_tpu.data import transforms as xt
-from pinthememory_tpu.data.datasets import DATASETS, NullLoader
+from pinthememory_tpu.data.datasets import DATASETS, NullLoader, ShapesLoader
 
 
 class DomainUniformConcatDataset:
@@ -371,6 +371,9 @@ def build_dataset(name: str, cfg: Config, mode: str, **kw):
     cls, subdir = DATASETS[name]
     if cls is NullLoader:
         return NullLoader(crop_size=cfg.train.crop_size, seed=cfg.train.seed, **kw)
+    if cls is ShapesLoader:
+        return ShapesLoader(crop_size=cfg.train.crop_size, seed=cfg.train.seed,
+                            mode=mode, **kw)
     root = os.path.join(_expand_root(cfg), subdir)
     return cls(root, mode=mode, seed=cfg.train.seed, **kw)
 

@@ -150,14 +150,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "centroids (datasets/__init__.py:347-349); the "
                         "rebuild has no gtCoarse backend -- setting it is an "
                         "error (see PARITY.md)")
+    # --epoch_per_val is declared but never read in the reference
+    # (train.py:1174, dead); here it is made FUNCTIONAL: validate every N
+    # epochs in addition to the end-of-training validation (0 = reference
+    # behavior).  See PARITY.md.
+    p.add_argument("--epoch_per_val", type=int, default=0,
+                   help="validate every N epochs (0 = only at the end, the "
+                        "reference behavior; the reference declares this "
+                        "flag but never reads it)")
     # accepted-for-script-parity, no effect: distributed plumbing GSPMD
     # replaces (--local_rank/--dist_url/--syncbn) and flags that are declared
     # but never read in the reference either (--fp16/--start_epoch/
-    # --epoch_per_val/--freeze_trunk/--hardnm/--rescale/--repoly/--scf/
+    # --freeze_trunk/--hardnm/--rescale/--repoly/--scf/
     # --trunk -- verified by grep over /root/reference; see PARITY.md)
     for flag in ("--local_rank", "--dist_url", "--trunk", "--start_epoch",
-                 "--epoch_per_val", "--hardnm", "--rescale", "--repoly",
-                 "--scf"):
+                 "--hardnm", "--rescale", "--repoly", "--scf"):
         p.add_argument(flag, default=None, help=argparse.SUPPRESS)
     for flag in ("--syncbn", "--fp16", "--freeze_trunk"):
         p.add_argument(flag, action="store_true", help=argparse.SUPPRESS)
@@ -282,6 +289,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             cls_wt_loss=args.cls_wt_loss, jointwtborder=args.jointwtborder,
             wt_bound=args.wt_bound, test_mode=args.test_mode, seed=args.seed,
             snapshot_every=args.snapshot_every,
+            epoch_per_val=int(args.epoch_per_val or 0),
             batch_weighting=args.batch_weighting,
             strict_bdr_cls=tuple(int(c) for c in args.strict_bdr_cls.split(",")
                                  if c.strip() != ""),
@@ -840,6 +848,12 @@ class Trainer:
                 self.validate_for_cov_stat()
             more = self.do_epoch()
             self.epoch += 1
+            if (cfg.train.epoch_per_val and more
+                    and self.epoch % cfg.train.epoch_per_val == 0
+                    and not cfg.train.test_mode):
+                # periodic validation (--epoch_per_val made functional; the
+                # reference declares it but never reads it, train.py:1174)
+                self.validate()
             if (cfg.train.snapshot_every
                     and self.epoch % cfg.train.snapshot_every == 0):
                 # mid-run insurance for preemptible runs (beyond parity --

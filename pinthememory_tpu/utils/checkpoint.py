@@ -58,7 +58,12 @@ class CheckpointManager:
             name += f"_mean-iu_{mean_iu:.5f}"
         path = os.path.join(self.ckpt_dir, name + ".msgpack")
         save_state(path, state, {"epoch": epoch, "dataset": dataset, "mean_iu": mean_iu})
-        if self._last_path and os.path.exists(self._last_path):
+        # rotate the previous 'last' (utils/misc.py:175-247 keeps one); when
+        # the new checkpoint resolves to the SAME path (save_last called
+        # twice at one epoch, e.g. end-of-training), removing would delete
+        # the file just written
+        if (self._last_path and self._last_path != path
+                and os.path.exists(self._last_path)):
             os.remove(self._last_path)
             if os.path.exists(self._last_path + ".json"):
                 os.remove(self._last_path + ".json")

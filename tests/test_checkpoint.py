@@ -53,3 +53,15 @@ def test_manager_last_and_best(tmp_path):
     assert mgr.maybe_save_best(s, "cityscapes", 3, 0.4) is None  # not better
     assert mgr.maybe_save_best(s, "cityscapes", 4, 0.6) is not None
     assert mgr.maybe_save_best(s, "bdd100k", 4, 0.1) is not None  # per-dataset
+
+
+def test_manager_save_last_twice_same_epoch_keeps_file(tmp_path):
+    """Trainer.run calls save_last twice at end-of-training (break branch +
+    final); the rotation must not delete the checkpoint it just wrote when
+    the new path equals the previous one (regression: tests/test_isw_smoke
+    found end-of-run checkpoints vanishing)."""
+    mgr = CheckpointManager(str(tmp_path))
+    s = _tiny_state()
+    p1 = mgr.save_last(s, epoch=3)
+    p2 = mgr.save_last(s, epoch=3)
+    assert p1 == p2 and os.path.exists(p2)
