@@ -231,10 +231,93 @@ def conv2d(
     )
 
 
+class FoldedBatchNorm(nn.BatchNorm):
+    """BatchNorm whose activation math stays in the compute dtype.
+
+    flax's ``nn.BatchNorm`` computes batch statistics in f32 (correct:
+    million-element reductions) but then broadcasts the f32 stats into
+    ``y = x - mean`` and multiplies by the f32 scale param, silently
+    promoting the WHOLE activation to f32 even under ``dtype=bfloat16``
+    (flax normalization.py:203-226).  The fwdbwd xprof capture (BASELINE.md
+    6b) shows the cost on TPU: activation-sized f32 materializations plus
+    the converts/transposed-copies/pads around them -- a large share of the
+    episode's 33% zero-FLOP "data formatting" time.
+
+    Here the per-channel affine is folded in f32 -- ``mul = rsqrt(var+eps)
+    * scale``, ``off = bias - mean*mul`` -- and only those two C-sized
+    vectors are cast to the compute dtype, so the activation op is one
+    bf16 multiply-add and XLA can keep the whole chain bf16.
+
+    Statistics computation, running-average update and checkpoint layout
+    are inherited unchanged.  With ``dtype=float32`` (the parity default)
+    the class defers to ``nn.BatchNorm`` verbatim, so every parity gate
+    sees flax's exact numerics; the folded path runs only in the bf16
+    benchmark config, where its extra per-channel f32 rounding is far
+    below the conv rounding already accepted there (BASELINE.md 5c).
+    """
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool | None = None, *,
+                 mask=None):
+        from flax.linen import normalization as fnorm
+
+        if self.dtype is None or jnp.dtype(self.dtype) == jnp.float32:
+            return super().__call__(
+                x, use_running_average=use_running_average, mask=mask)
+
+        use_running_average = nn.merge_param(
+            "use_running_average", self.use_running_average,
+            use_running_average)
+        feature_axes = fnorm._canonicalize_axes(x.ndim, self.axis)
+        reduction_axes = tuple(i for i in range(x.ndim)
+                               if i not in feature_axes)
+        feature_shape = [x.shape[ax] for ax in feature_axes]
+
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32),
+                                feature_shape)
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32),
+                               feature_shape)
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mean, var = fnorm._compute_stats(
+                x, reduction_axes, dtype=self.dtype,
+                axis_name=self.axis_name if not self.is_initializing() else None,
+                axis_index_groups=self.axis_index_groups,
+                use_fast_variance=self.use_fast_variance, mask=mask,
+                force_float32_reductions=True,
+            )
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * var)
+
+        mul = jax.lax.rsqrt(var + self.epsilon)
+        if self.use_scale:
+            scale = self.param("scale", self.scale_init, feature_shape,
+                               self.param_dtype)
+            mul = mul * scale
+        off = -mean * mul
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, feature_shape,
+                              self.param_dtype)
+            off = off + bias
+        shape = [1] * x.ndim
+        for ax in feature_axes:
+            shape[ax] = x.shape[ax]
+        mul = mul.astype(self.dtype).reshape(shape)
+        off = off.astype(self.dtype).reshape(shape)
+        return x.astype(self.dtype) * mul + off
+
+
 def batch_norm(
     dtype: Any = jnp.float32, name: str | None = None, axis_name: str | None = None
 ) -> nn.BatchNorm:
-    return nn.BatchNorm(
+    return FoldedBatchNorm(
         use_running_average=None,  # passed via call
         momentum=BN_MOMENTUM,
         epsilon=BN_EPS,
