@@ -132,6 +132,9 @@ class TrainConfig:
     # --epoch_per_val: declared but dead in the reference (train.py:1174);
     # functional here -- validate every N epochs (0 = end only)
     epoch_per_val: int = 0
+    # spatial mesh axis for training (devices = data x spatial); guarded by
+    # parallel.mesh.validate_spatial_training
+    spatial: int = 1
     seed: int = 0
 
 

@@ -185,6 +185,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "at the end, the reference behavior)")
     p.add_argument("--model_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--spatial", type=int, default=1,
+                   help="shard each crop's H over a spatial mesh axis of "
+                        "this size (devices = data x spatial; GSPMD halo "
+                        "exchange through the trunk).  Requires crop_size "
+                        ">= 64*spatial -- see parallel.mesh."
+                        "validate_spatial_training")
     p.add_argument("--profile", type=str, default=None,
                    help="write a jax.profiler trace of iterations 10-20")
     p.add_argument("--check_nan", action="store_true",
@@ -290,6 +296,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             wt_bound=args.wt_bound, test_mode=args.test_mode, seed=args.seed,
             snapshot_every=args.snapshot_every,
             epoch_per_val=int(args.epoch_per_val or 0),
+            spatial=max(args.spatial, 1),
             batch_weighting=args.batch_weighting,
             strict_bdr_cls=tuple(int(c) for c in args.strict_bdr_cls.split(",")
                                  if c.strip() != ""),
@@ -349,19 +356,24 @@ class Trainer:
             make_mesh,
             replicate_state,
             shard_train_step,
+            validate_spatial_training,
         )
 
         self.cfg = cfg
         self.log = ExperimentLogger(cfg)
-        # GSPMD data parallelism over every visible device: the reference's
-        # bs_mult-per-GPU semantics (datasets/__init__.py:323-326) -- the
-        # global batch is bs_mult x data devices and XLA inserts the
-        # gradient/BN/memory-write collectives (SURVEY.md §2.6)
-        self.mesh = make_mesh(jax.devices(), spatial=1)
+        # GSPMD data (x spatial) parallelism over every visible device: the
+        # reference's bs_mult-per-GPU semantics (datasets/__init__.py:
+        # 323-326) -- the global batch is bs_mult x data devices and XLA
+        # inserts the gradient/BN/memory-write collectives (SURVEY.md §2.6).
+        # --spatial > 1 additionally shards each crop's H (halo exchange
+        # through the trunk); guarded against XLA's tiny-shard corner.
+        validate_spatial_training(cfg.train.crop_size, cfg.train.spatial)
+        self.mesh = make_mesh(jax.devices(), spatial=cfg.train.spatial)
         n_data = self.mesh.shape["data"]
-        if n_data > 1:
-            self.log.info(f"data-parallel over {n_data} devices "
-                          f"(global batch {cfg.train.bs_mult * n_data})")
+        if n_data > 1 or cfg.train.spatial > 1:
+            self.log.info(
+                f"mesh {dict(self.mesh.shape)} over {len(jax.devices())} "
+                f"devices (global batch {cfg.train.bs_mult * n_data})")
         self.train_loader, self.val_loaders = setup_loaders(cfg, batch_scale=n_data)
 
         self.model = build_model(cfg.model)
@@ -432,7 +444,7 @@ class Trainer:
                     params=loaded.params, batch_stats=loaded.batch_stats,
                     m_items=loaded.m_items)
             self.log.info(f"resumed native snapshot {cfg.snapshot}: {meta}")
-        if n_data > 1:
+        if n_data > 1 or cfg.train.spatial > 1:
             self.state = replicate_state(self.mesh, self.state)
         self.step_agg = make_train_step_agg(self.model, cfg, self.tx)
         self.step_mldg = make_train_step_mldg(self.model, cfg, self.tx)
@@ -448,7 +460,7 @@ class Trainer:
             self.step_pd = make_train_step_per_domain(self.model, cfg, tx_pd)
         self.eval_step = make_eval_step(self.model, cfg)
         self.mem_init_step = make_memory_init_step(self.model)
-        if n_data > 1:
+        if n_data > 1 or cfg.train.spatial > 1:
             self.step_agg = shard_train_step(self.step_agg, self.mesh)
             self.step_mldg = shard_train_step(self.step_mldg, self.mesh)
             if self.step_pd is not None:

@@ -204,3 +204,21 @@ def test_xla_one_row_shard_backward_repro():
 
     assert rel_dev(8) < 1e-5          # 2 rows/device: exact to noise
     assert rel_dev(4) > 1e-2          # 1 row/device: XLA backward is wrong
+
+
+def test_train_cli_spatial_flag_wiring():
+    """--spatial reaches the config and the guard rejects unsafe crops at
+    Trainer construction time (before any compile)."""
+    from pinthememory_tpu.train import cli as train_cli
+
+    args = train_cli.build_parser().parse_args(
+        ["--spatial", "2", "--crop_size", "128"])
+    cfg = train_cli.config_from_args(args)
+    assert cfg.train.spatial == 2
+    validate_spatial_training(cfg.train.crop_size, cfg.train.spatial)
+
+    args = train_cli.build_parser().parse_args(
+        ["--spatial", "2", "--crop_size", "64"])
+    cfg = train_cli.config_from_args(args)
+    with pytest.raises(ValueError, match="rows"):
+        validate_spatial_training(cfg.train.crop_size, cfg.train.spatial)
