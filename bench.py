@@ -214,6 +214,10 @@ def main():
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     ap.add_argument("--scales", default="0.5,1.0,2.0")
     ap.add_argument("--no_flip", action="store_true")
+    ap.add_argument("--stream_tiles", type=int, default=0,
+                    help="stream tiles through the model in chunks of N, "
+                         "accumulating into the merged map (drops the tile-"
+                         "logit working set; see sliding.py)")
     ap.add_argument("--fast_merge", action="store_true",
                     help="OS4 merge + one upsample/image (off by default: "
                          "not the reference protocol near tile seams)")
@@ -250,6 +254,7 @@ def main():
         overlap=1.0 / 3.0,
         apply_low_fn=apply_low_fn if args.fast_merge else None,
         scale_batch=scale_batch,
+        stream_tiles=args.stream_tiles,
     )
 
     rng = np.random.default_rng(0)

@@ -76,6 +76,7 @@ class SlidingEvaluator:
         apply_low_fn: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
         scale_batch: dict | None = None,
         count_mode: str = "reference",
+        stream_tiles: int = 0,
     ):
         self.apply_fn = apply_fn
         self.num_classes = num_classes
@@ -104,6 +105,15 @@ class SlidingEvaluator:
         # intended uniform overlap average (never the reference count bug)
         # -- opt-in, see PARITY.md.
         self.apply_low_fn = apply_low_fn
+        # stream_tiles > 0: process tiles through the model in chunks of
+        # that many and accumulate each chunk straight into the merged map
+        # instead of materializing ALL tile logits first -- the scale-2.0
+        # working set drops from ~1.45 GB/image (tile logits) to the
+        # ~0.6 GB/image merged accumulator, enabling larger image batches
+        # on HBM-limited parts (BASELINE.md 5b).  Same math; f32 summation
+        # order differs from the segment merge (tile-order instead of
+        # segment-order adds).  Reference count mode only.
+        self.stream_tiles = int(stream_tiles)
         self._programs: dict = {}
 
     def _low_factor(self, grid) -> int | None:
@@ -176,6 +186,41 @@ class SlidingEvaluator:
         else:
             div = None
             merge = lambda t: merge_tiles_segments(t, grid)
+
+        if self.stream_tiles > 0 and div is not None:
+            th, tw = grid.tile_h, grid.tile_w
+            # (variant, y_src, x_src, y_dst, x_dst): flipped-image tiles
+            # land mirrored in the original frame with their content
+            # unflipped -- identical to merging the flipped map then [::-1]
+            specs = [(0, y, x, y, x) for (y, x) in grid.coords]
+            if with_flip:
+                specs += [(1, y, x, y, sw - x - tw) for (y, x) in grid.coords]
+            chunk_n = max(1, self.stream_tiles)
+
+            @jax.jit
+            def run_stream(raw_img: jnp.ndarray):
+                img = resize_pil_bilinear(raw_img.astype(jnp.float32), (sh, sw))
+                img = normalize_image(img)
+                variants = (img, img[:, ::-1, :]) if with_flip else (img,)
+                merged = jnp.zeros((sh, sw, self.num_classes), jnp.float32)
+                for i in range(0, len(specs), chunk_n):
+                    chunk = specs[i:i + chunk_n]
+                    tiles = jnp.stack([
+                        variants[v][y:y + th, x:x + tw] for v, y, x, _, _ in chunk])
+                    logits = self.apply_fn(tiles)
+                    for j, (v, _y, _x, yd, xd) in enumerate(chunk):
+                        t = logits[j]
+                        if v:
+                            t = t[:, ::-1, :]
+                        merged = merged.at[yd:yd + th, xd:xd + tw].add(
+                            t.astype(jnp.float32))
+                if with_flip:
+                    merged = merged * 0.5
+                merged = merged / div
+                return resize_bilinear_half_pixel(merged, (img_h, img_w))
+
+            self._programs[key] = run_stream
+            return run_stream
 
         @jax.jit
         def run(raw_img: jnp.ndarray):

@@ -286,3 +286,24 @@ def test_batch_sharded_spatial_matches_unsharded():
     a2 = np.asarray(ev2.predict_batch_device(jnp.asarray(raws)))
     b2 = np.asarray(ev2.predict_batch_sharded(raws, mesh))
     np.testing.assert_array_equal(a2, b2)
+
+
+def test_stream_tiles_matches_segment_merge():
+    """stream_tiles (chunked model calls accumulating straight into the
+    merged map) must reproduce the default segment-merge predictions; only
+    the f32 summation order differs (measured <1e-6 logit delta)."""
+    rng = np.random.default_rng(17)
+    raws = rng.integers(0, 255, (2, 64, 96, 3), dtype=np.uint8)
+
+    def model(tiles):
+        base = jnp.concatenate([tiles, -tiles, tiles[..., ::-1]], axis=-1)
+        return jnp.concatenate([base, base, base], axis=-1)[..., :19]
+
+    kw = dict(crop_size=32, overlap=1 / 3, scales=(0.5, 1.0, 2.0), flip=True)
+    a = SlidingEvaluator(model, **kw)
+    b = SlidingEvaluator(model, stream_tiles=4, **kw)
+    la = np.asarray(a.predict_logits(raws[0]))
+    lb = np.asarray(b.predict_logits(raws[0]))
+    np.testing.assert_allclose(la, lb, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(a.predict_batch_device(raws)),
+                                  np.asarray(b.predict_batch_device(raws)))
