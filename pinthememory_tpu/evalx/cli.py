@@ -72,6 +72,11 @@ def build_parser():
                         " (eval_batch becomes the super-batch; identical "
                         "predictions, better dispatch amortization at small "
                         "scales)")
+    p.add_argument("--stream_tiles", type=int, default=0,
+                   help="run tiles through the model in chunks of N, "
+                        "accumulating into the merged map (drops the tile-"
+                        "logit working set; slower on v5e -- BASELINE 5b -- "
+                        "but enables larger batches on bigger-HBM parts)")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard eval batches over all visible devices "
                         "(GSPMD data axis; the reference's DDP eval + hist "
@@ -208,7 +213,8 @@ def main(argv=None):
             apply_fn, scales=scales, flip=not args.no_flip,
             crop_size=args.crop_size, overlap=args.sliding_overlap,
             apply_low_fn=apply_low_fn if args.fast_merge else None,
-            scale_batch=scale_batch, count_mode=args.merge_count)
+            scale_batch=scale_batch, count_mode=args.merge_count,
+            stream_tiles=args.stream_tiles)
     else:
         ev = PoolingEvaluator(apply_fn, scales=scales, flip=not args.no_flip)
 
