@@ -115,3 +115,56 @@ def test_space_to_depth_stem_matches_conv7x7():
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     np.testing.assert_allclose(np.asarray(m.apply(v, x_odd)),
                                np.asarray(ref_odd), rtol=1e-5, atol=1e-5)
+
+
+def test_folded_batch_norm_f32_bit_identical_to_flax():
+    """FoldedBatchNorm defers to nn.BatchNorm verbatim under f32 (the
+    parity default): outputs, updated running stats and the param tree are
+    bit-identical in train and eval mode."""
+    from pinthememory_tpu.models.layers import batch_norm
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((4, 8, 8, 16)) * 3 + 1,
+        jnp.float32)
+    ref = nn.BatchNorm(use_running_average=None, momentum=0.9, epsilon=1e-5,
+                       dtype=jnp.float32)
+    got = batch_norm(jnp.float32)
+    vr = ref.init(jax.random.PRNGKey(0), x, use_running_average=False)
+    vg = got.init(jax.random.PRNGKey(0), x, use_running_average=False)
+    assert jax.tree_util.tree_structure(vr) == jax.tree_util.tree_structure(vg)
+    yr, sr = ref.apply(vr, x, use_running_average=False, mutable=["batch_stats"])
+    yg, sg = got.apply(vg, x, use_running_average=False, mutable=["batch_stats"])
+    np.testing.assert_array_equal(np.asarray(yr), np.asarray(yg))
+    np.testing.assert_array_equal(np.asarray(sr["batch_stats"]["mean"]),
+                                  np.asarray(sg["batch_stats"]["mean"]))
+    np.testing.assert_array_equal(
+        np.asarray(ref.apply(vr, x, use_running_average=True)),
+        np.asarray(got.apply(vg, x, use_running_average=True)))
+
+
+def test_folded_batch_norm_bf16_matches_flax_within_rounding():
+    """The bf16 folded path: f32 statistics identical to flax; outputs
+    within bf16 rounding of flax's (f32-promoted) result; output dtype is
+    the compute dtype (the whole point -- no silent f32 materialization)."""
+    from pinthememory_tpu.models.layers import batch_norm
+
+    x32 = jnp.asarray(
+        np.random.default_rng(1).standard_normal((4, 8, 8, 16)) * 3 + 1,
+        jnp.float32)
+    x = x32.astype(jnp.bfloat16)
+    ref = nn.BatchNorm(use_running_average=None, momentum=0.9, epsilon=1e-5,
+                       dtype=jnp.bfloat16)
+    got = batch_norm(jnp.bfloat16)
+    vr = ref.init(jax.random.PRNGKey(0), x, use_running_average=False)
+    vg = got.init(jax.random.PRNGKey(0), x, use_running_average=False)
+    yr, sr = ref.apply(vr, x, use_running_average=False, mutable=["batch_stats"])
+    yg, sg = got.apply(vg, x, use_running_average=False, mutable=["batch_stats"])
+    assert yg.dtype == jnp.bfloat16
+    # batch statistics are computed identically (f32 reductions)
+    np.testing.assert_array_equal(np.asarray(sr["batch_stats"]["mean"]),
+                                  np.asarray(sg["batch_stats"]["mean"]))
+    np.testing.assert_array_equal(np.asarray(sr["batch_stats"]["var"]),
+                                  np.asarray(sg["batch_stats"]["var"]))
+    # normalized values agree to bf16 rounding of the unit-variance output
+    d = np.abs(np.asarray(yr, np.float32) - np.asarray(yg, np.float32))
+    assert d.max() < 0.05, d.max()
