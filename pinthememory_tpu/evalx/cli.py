@@ -13,9 +13,13 @@ import functools
 import os
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp"))
 
 import jax
+
+from pinthememory_tpu.utils.compcache import enable as _enable_cache
+_enable_cache()  # sitecustomize may import jax before the env var lands
 import jax.numpy as jnp
 import numpy as np
 

@@ -31,9 +31,13 @@ import functools
 import json
 import os
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp"))
 
 import jax
+
+from pinthememory_tpu.utils.compcache import enable as _enable_cache
+_enable_cache()  # sitecustomize may import jax before the env var lands
 import jax.numpy as jnp
 import numpy as np
 
@@ -88,6 +92,10 @@ def main(argv=None):
     p.add_argument("--scales", type=float, nargs="*", default=[0.5, 1.0, 2.0])
     p.add_argument("--no_flip", action="store_true")
     p.add_argument("--images", type=int, default=4)
+    p.add_argument("--shapes", action="store_true",
+                   help="use ShapesLoader scenes (in-distribution for a "
+                        "shapes-trained --snapshot) instead of gradient "
+                        "scenes")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -97,16 +105,27 @@ def main(argv=None):
     rng = np.random.default_rng(args.seed)
     flips, n_pix = 0, 0
     max_d, sum_d, cnt_d, p99s, margins = 0.0, 0.0, 0, [], []
+    shapes_ds = None
+    if args.shapes:
+        from pinthememory_tpu.data.datasets import ShapesLoader
+
+        shapes_ds = ShapesLoader(crop_size=max(args.height, args.width),
+                                 length=args.images, seed=args.seed,
+                                 eval_mode="sliding")
     for i in range(args.images):
-        # structured synthetic scene: smooth color gradients + blocks, more
-        # image-like than white noise (activations reach deep layers intact)
         h, w = args.height, args.width
-        yy, xx = np.mgrid[0:h, 0:w]
-        img = np.stack([
-            128 + 100 * np.sin(xx / (20 + 10 * i) + i),
-            128 + 100 * np.cos(yy / (30 + 5 * i)),
-            rng.integers(0, 255, (h // 32 + 1, w // 32 + 1)).repeat(32, 0).repeat(32, 1)[:h, :w],
-        ], axis=-1).clip(0, 255).astype(np.uint8)
+        if shapes_ds is not None:
+            img = shapes_ds[i][0][:h, :w]
+        else:
+            # structured synthetic scene: smooth color gradients + blocks,
+            # more image-like than white noise (activations reach deep
+            # layers intact)
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack([
+                128 + 100 * np.sin(xx / (20 + 10 * i) + i),
+                128 + 100 * np.cos(yy / (30 + 5 * i)),
+                rng.integers(0, 255, (h // 32 + 1, w // 32 + 1)).repeat(32, 0).repeat(32, 1)[:h, :w],
+            ], axis=-1).clip(0, 255).astype(np.uint8)
 
         l32 = np.asarray(ev32.predict_logits(img), np.float32)
         l16 = np.asarray(ev16.predict_logits(img), np.float32)
