@@ -281,6 +281,11 @@ def main(argv=None):
     batched = hasattr(ev, "predict_batch_device") and not args.dump_images
     batch_n = max(args.eval_batch, 1) if batched else 1
     mesh = None
+    if args.spatial > 1 and not args.data_parallel:
+        # the mesh is only built under --data_parallel; silently running
+        # single-device would ignore the requested sharding (ADVICE r4)
+        raise SystemExit("--spatial requires --data_parallel (the spatial "
+                         "axis is part of the data x spatial device mesh)")
     if args.data_parallel and batched:
         from pinthememory_tpu.parallel.mesh import make_mesh
 
@@ -299,14 +304,11 @@ def main(argv=None):
         if batched and len(group) > 1:
             raws = (raws_dev if raws_dev is not None
                     else np.stack([g[0] for g in group]))
-            if (mesh is not None and hasattr(ev, "predict_batch_sharded")
-                    and len(group) % mesh.shape["data"] == 0):
+            if mesh is not None and hasattr(ev, "predict_batch_sharded"):
+                # non-divisible tail groups are transparently padded and
+                # truncated inside predict_batch_sharded (VERDICT r4 #7)
                 preds = ev.predict_batch_sharded(raws, mesh)
             else:
-                if mesh is not None:
-                    print(f"warning: group of {len(group)} not divisible by "
-                          f"data axis {mesh.shape['data']}; running "
-                          "single-device for this group")
                 preds = ev.predict_batch_device(raws)
             gts = jnp.asarray(np.stack([g[1] for g in group]))
             hist = hist_update(hist, preds, gts)

@@ -114,6 +114,20 @@ class SlidingEvaluator:
         # order differs from the segment merge (tile-order instead of
         # segment-order adds).  Reference count mode only.
         self.stream_tiles = int(stream_tiles)
+        if self.stream_tiles > 0:
+            # the stream path exists only for the reference count mode and
+            # the full-resolution merge; silently falling back to the
+            # monolithic program would hand the user none of the promised
+            # HBM reduction (ADVICE r4)
+            if self.count_mode != "reference":
+                raise ValueError(
+                    "stream_tiles requires count_mode='reference' (the "
+                    "uniform-count stream path is not implemented)")
+            if self.apply_low_fn is not None:
+                raise ValueError(
+                    "stream_tiles is incompatible with fast_merge "
+                    "(apply_low_fn): the low-res fast path would shadow "
+                    "the streaming merge")
         self._programs: dict = {}
 
     def _low_factor(self, grid) -> int | None:
@@ -320,9 +334,18 @@ class SlidingEvaluator:
         """
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        n = raw_imgs.shape[0]
+        n_real = raw_imgs.shape[0]
         ndev = int(np.prod([mesh.shape[a] for a in ("data",) if a in mesh.shape]))
-        assert n % ndev == 0, f"batch {n} not divisible by data axis {ndev}"
+        if n_real % ndev:
+            # transparent tail padding: a 500-image val set on an 8-chip
+            # mesh leaves a remainder -- replicate the last image up to the
+            # next data-axis multiple and truncate the predictions after
+            # (VERDICT r4 #7); padded rows cost one duplicate evaluation
+            pad_n = ndev - n_real % ndev
+            raw_imgs = np.concatenate(
+                [np.asarray(raw_imgs),
+                 np.repeat(np.asarray(raw_imgs[-1:]), pad_n, axis=0)], axis=0)
+        n = raw_imgs.shape[0]
         n_sp = int(mesh.shape.get("spatial", 1))
         use_spatial = n_sp > 1 if spatial is None else (spatial and n_sp > 1)
         spec = P("data", "spatial") if use_spatial else P("data")
@@ -349,7 +372,8 @@ class SlidingEvaluator:
                 outs.append(run(chunk))
             out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
             acc = out if acc is None else acc + out
-        return jnp.argmax(acc, axis=-1).astype(jnp.uint8)
+        preds = jnp.argmax(acc, axis=-1).astype(jnp.uint8)
+        return preds[:n_real] if n_real != n else preds
 
     def predict_device(self, raw_img) -> jnp.ndarray:
         """(H, W) uint8 prediction left ON DEVICE (no host sync).

@@ -231,6 +231,46 @@ def conv2d(
     )
 
 
+def _bn_canonicalize_axes(ndim: int, axes) -> tuple:
+    """Vendored equivalent of flax's private ``_canonicalize_axes`` so the
+    folded path does not track flax internals across upgrades (ADVICE r4)."""
+    if isinstance(axes, int):
+        axes = (axes,)
+    return tuple(sorted({ndim + ax if ax < 0 else ax for ax in axes}))
+
+
+def _bn_compute_stats_f32(x, reduction_axes, axis_name, axis_index_groups,
+                          use_fast_variance):
+    """Batch mean/var with f32 reductions, bit-identical to flax 0.12's
+    ``_compute_stats(..., force_float32_reductions=True, mask=None)``
+    (flax normalization.py) including the concatenated-``pmean`` layout of
+    the cross-device (SyncBN) path.  Vendored so the bf16 fold survives
+    flax upgrades; the f32 config still defers to flax verbatim."""
+    dtype = jnp.promote_types(jnp.result_type(x), jnp.float32)
+    x = jnp.asarray(x, dtype)
+
+    def distributed_mean(*xs):
+        mus = tuple(v.mean(reduction_axes) for v in xs)
+        if axis_name is None:
+            return mus if len(xs) > 1 else mus[0]
+        synced = jax.lax.pmean(
+            jnp.concatenate([mu.reshape(-1) for mu in mus]),
+            axis_name, axis_index_groups=axis_index_groups)
+        split = np.cumsum([mu.size for mu in mus[:-1]])
+        outs = tuple(v.reshape(mu.shape) for v, mu in
+                     zip(jnp.split(synced, split), mus))
+        return outs if len(xs) > 1 else outs[0]
+
+    if use_fast_variance:
+        mu, mu2 = distributed_mean(x, jnp.square(x))
+        var = jnp.maximum(0.0, mu2 - jnp.square(mu))
+    else:
+        mu = distributed_mean(x)
+        var = distributed_mean(
+            jnp.square(x - jnp.expand_dims(mu, reduction_axes)))
+    return mu, var
+
+
 class FoldedBatchNorm(nn.BatchNorm):
     """BatchNorm whose activation math stays in the compute dtype.
 
@@ -259,16 +299,15 @@ class FoldedBatchNorm(nn.BatchNorm):
     @nn.compact
     def __call__(self, x, use_running_average: bool | None = None, *,
                  mask=None):
-        from flax.linen import normalization as fnorm
-
         if self.dtype is None or jnp.dtype(self.dtype) == jnp.float32:
             return super().__call__(
                 x, use_running_average=use_running_average, mask=mask)
+        assert mask is None, "folded bf16 path does not support mask"
 
         use_running_average = nn.merge_param(
             "use_running_average", self.use_running_average,
             use_running_average)
-        feature_axes = fnorm._canonicalize_axes(x.ndim, self.axis)
+        feature_axes = _bn_canonicalize_axes(x.ndim, self.axis)
         reduction_axes = tuple(i for i in range(x.ndim)
                                if i not in feature_axes)
         feature_shape = [x.shape[ax] for ax in feature_axes]
@@ -283,12 +322,11 @@ class FoldedBatchNorm(nn.BatchNorm):
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            mean, var = fnorm._compute_stats(
-                x, reduction_axes, dtype=self.dtype,
+            mean, var = _bn_compute_stats_f32(
+                x, reduction_axes,
                 axis_name=self.axis_name if not self.is_initializing() else None,
                 axis_index_groups=self.axis_index_groups,
-                use_fast_variance=self.use_fast_variance, mask=mask,
-                force_float32_reductions=True,
+                use_fast_variance=self.use_fast_variance,
             )
             if not self.is_initializing():
                 ra_mean.value = (self.momentum * ra_mean.value

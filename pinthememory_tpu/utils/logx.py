@@ -44,10 +44,13 @@ class ExperimentLogger:
     def __init__(self, cfg, exp_dir: str | None = None):
         stamp = time.strftime("%m_%d_%H")
         self.exp_dir = exp_dir or os.path.join(cfg.ckpt, cfg.date, cfg.exp, stamp)
-        self.tb_dir = os.path.join(
-            getattr(cfg, "tb_path", None) or self.exp_dir,
-            cfg.date, cfg.exp, stamp) if exp_dir is None else os.path.join(
-            self.exp_dir, "tb")
+        tb_path = getattr(cfg, "tb_path", None)
+        if exp_dir is not None or not tb_path:
+            # exp_dir already ends in date/exp/stamp -- re-appending them
+            # would doubly nest the TB directory (ADVICE r4)
+            self.tb_dir = os.path.join(self.exp_dir, "tb")
+        else:
+            self.tb_dir = os.path.join(tb_path, cfg.date, cfg.exp, stamp)
         os.makedirs(self.exp_dir, exist_ok=True)
 
         self.logger = logging.getLogger("pinmem")

@@ -166,6 +166,41 @@ def test_batch_sharded_matches_unsharded():
     np.testing.assert_array_equal(a, b)
 
 
+def test_batch_sharded_pads_nondivisible_tail():
+    """A batch not divisible by the data axis (e.g. 500 Cityscapes images on
+    8 chips) is transparently padded and truncated -- predictions identical
+    to the unsharded path (VERDICT r4 #7)."""
+    from pinthememory_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(13)
+    raws = rng.integers(0, 255, (5, 64, 96, 3), dtype=np.uint8)
+
+    def model(tiles):
+        base = jnp.concatenate([tiles, -tiles, tiles[..., ::-1]], axis=-1)
+        return jnp.concatenate([base, base, base], axis=-1)[..., :19]
+
+    ev = SlidingEvaluator(model, crop_size=32, overlap=1 / 3,
+                          scales=(0.5, 1.0), flip=True)
+    mesh = make_mesh(jax.devices()[:8], spatial=1)
+    a = np.asarray(ev.predict_batch_device(jnp.asarray(raws)))
+    b = np.asarray(ev.predict_batch_sharded(raws, mesh))
+    assert b.shape == a.shape
+    np.testing.assert_array_equal(a, b)
+
+
+def test_stream_tiles_rejects_uniform_and_fast_merge():
+    """stream_tiles would be silently ignored under count_mode='uniform' or
+    fast_merge; both now raise at construction (ADVICE r4)."""
+    import pytest
+
+    with pytest.raises(ValueError):
+        SlidingEvaluator(_identity_apply, stream_tiles=4,
+                         count_mode="uniform")
+    with pytest.raises(ValueError):
+        SlidingEvaluator(_identity_apply, stream_tiles=4,
+                         apply_low_fn=_identity_apply)
+
+
 def test_pooling_evaluator_probs_normalized():
     rng = np.random.default_rng(3)
     raw = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
