@@ -145,13 +145,13 @@ class SpaceToDepthStem(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, reorder: bool = True) -> jnp.ndarray:
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (7, 7, x.shape[-1], self.features))
         x, kernel = nn.dtypes.promote_dtype(x, kernel, dtype=self.dtype)
         n, h, w, c = x.shape
-        if h % 2 or w % 2:
+        if not reorder or h % 2 or w % 2:
             return jax.lax.conv_general_dilated(
                 x, kernel, (2, 2), ((3, 3), (3, 3)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -171,13 +171,24 @@ class SpaceToDepthStem(nn.Module):
 _STD_STEM = None
 
 
-def use_std_stem() -> bool:
+def use_std_stem(train: bool = False) -> bool:
+    """Space-to-depth stem policy (both directions measured, BASELINE.md):
+    the reorder LOSES on the eval tile pipeline (3.36 vs 3.56 img/s, 6d)
+    but WINS on the training episode (5.06 vs 4.84 steps/s, round 5 --
+    the stem's kernel-grad at 73 GiB/s plus the layout copies around the
+    train-mode stem BN dominate only in the backward).  Default: reorder
+    in train mode, plain conv in eval mode; PINMEM_STD_STEM=1/0 forces
+    always-on/always-off."""
     global _STD_STEM
     if _STD_STEM is None:
         import os
 
-        _STD_STEM = os.environ.get("PINMEM_STD_STEM", "0") == "1"
-    return _STD_STEM
+        _STD_STEM = os.environ.get("PINMEM_STD_STEM", "")
+    if _STD_STEM == "1":
+        return True
+    if _STD_STEM == "0":
+        return False
+    return train
 
 
 _SPLIT_CONCAT = None
