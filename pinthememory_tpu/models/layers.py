@@ -191,6 +191,26 @@ def use_std_stem(train: bool = False) -> bool:
     return train
 
 
+_BLOCK_REMAT = None
+
+
+def use_block_remat() -> bool:
+    """Per-block rematerialization in train mode (default ON; PINMEM_REMAT=0
+    opts out).  Measured on v5e (round 5, 768^2 bs4 memory-MLDG episode):
+    5.01 -> 5.27 steps/s (+5%).  The fwdbwd profile shows why: ~20% of the
+    step was transposed/padded copies of activations STORED for the
+    backward around train-mode BN/relu sites; recomputing each residual
+    block from its input replaces that HBM traffic with cheap fused
+    recompute (the step is at 25% FLOPs util, so the extra FLOPs ride
+    free).  Numerics are identical (same ops, re-executed)."""
+    global _BLOCK_REMAT
+    if _BLOCK_REMAT is None:
+        import os
+
+        _BLOCK_REMAT = os.environ.get("PINMEM_REMAT", "1") == "1"
+    return _BLOCK_REMAT
+
+
 _SPLIT_CONCAT = None
 
 

@@ -72,13 +72,18 @@ def gumbel_softmax(key: jax.Array, logits: jnp.ndarray, axis: int) -> jnp.ndarra
 
 
 def read_loss_from_score(
-    score: jnp.ndarray, mask: jnp.ndarray, temperature: float, num_slots: int
+    score: jnp.ndarray, mask: jnp.ndarray, temperature: float, num_slots: int,
+    compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """CE(upsample(score/T), mask) with ignore=255 (memory.py:173-177).
 
-    score: (B, h, w, M); mask: (B, H, W) int labels.
+    score: (B, h, w, M); mask: (B, H, W) int labels.  Under a bf16
+    ``compute_dtype`` the (B, H, W, M) upsampled-score materialization and
+    its interpolation matmuls ride bf16 (the f32-HIGHEST einsum pair was
+    ~3.4 ms/step of the fwdbwd profile, round 5); the log-softmax/CE stays
+    f32.  f32 models are bit-identical to the original path.
     """
-    logits = score / temperature
+    logits = (score / temperature).astype(compute_dtype)
     logits = resize_bilinear_align_corners(logits, mask.shape[1:3])
     logits = logits.astype(jnp.float32)
     valid = (mask != 255) & (mask < num_slots)
@@ -99,6 +104,7 @@ def memory_read(
     temperature: float,
     gumbel: bool,
     rng: jax.Array | None,
+    compute_dtype=jnp.float32,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Memory read (memory.py:317-336 + get_score 167-189).
 
@@ -132,7 +138,8 @@ def memory_read(
         score_memory = jax.nn.softmax(flat, axis=1)
 
     if mask is not None:
-        rloss = read_loss_from_score(score, mask, temperature, m)
+        rloss = read_loss_from_score(score, mask, temperature, m,
+                                     compute_dtype=compute_dtype)
     else:
         rloss = jnp.zeros((), jnp.float32)
     return (
@@ -145,7 +152,8 @@ def memory_read(
 
 
 def write_statistics(
-    write_query: jnp.ndarray, mask: jnp.ndarray, num_slots: int
+    write_query: jnp.ndarray, mask: jnp.ndarray, num_slots: int,
+    compute_dtype=jnp.float32,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Masked per-slot sums (memory.py:219-231).
 
@@ -154,16 +162,24 @@ def write_statistics(
     align_corners=True to (h, w) -- soft class weights near boundaries,
     exactly as the reference.  Returns (nominator (M, D), denominator (M,)),
     extra ignore slot already dropped.
+
+    Under a bf16 ``compute_dtype`` the full-resolution one-hot tensor and
+    its downsample matmuls ride bf16 (interior one-hot entries are exact in
+    bf16; only boundary interpolation weights round) while both statistics
+    ACCUMULATE in f32 on the MXU (``preferred_element_type``) -- f32 models
+    keep the original bit-exact HIGHEST path.
     """
     b, h, w, d = write_query.shape
     mask = jnp.where(mask == 255, num_slots, mask).astype(jnp.int32)
-    onehot = jax.nn.one_hot(mask, num_slots + 1, dtype=jnp.float32)  # B,H,W,M+1
+    onehot = jax.nn.one_hot(mask, num_slots + 1, dtype=compute_dtype)
     onehot = resize_bilinear_align_corners(onehot, (h, w))
     flat_mask = onehot.reshape(b, h * w, num_slots + 1)
-    flat_q = write_query.reshape(b, h * w, d).astype(jnp.float32)
-    # (B, D, M+1) summed over batch -> (M+1, D)
-    nominator = jnp.einsum("bpd,bpm->md", flat_q, flat_mask, precision=_HP)
-    denominator = jnp.sum(flat_mask, axis=(0, 1))
+    flat_q = write_query.reshape(b, h * w, d).astype(compute_dtype)
+    prec = _HP if jnp.dtype(compute_dtype) == jnp.float32 else None
+    # (B, D, M+1) summed over batch -> (M+1, D), f32 accumulation either way
+    nominator = jnp.einsum("bpd,bpm->md", flat_q, flat_mask, precision=prec,
+                           preferred_element_type=jnp.float32)
+    denominator = jnp.sum(flat_mask.astype(jnp.float32), axis=(0, 1))
     return nominator[:num_slots], denominator[:num_slots]
 
 
@@ -266,13 +282,15 @@ class MemoryModule(nn.Module):
             temperature=self.temperature,
             gumbel=self.gumbel_read and train,
             rng=rng,
+            compute_dtype=self.dtype,
         )
         fused = self.fuse(query_n, retrieved, train)
 
         if memory_writing:
             assert mask is not None, "memory write requires labels"
             wq = self.write_features(query, train)
-            nom, den = write_statistics(wq, mask, self.memory_size)
+            nom, den = write_statistics(wq, mask, self.memory_size,
+                                        compute_dtype=self.dtype)
             updated = momentum_update(read_items, nom, den, self.momentum)
             div_loss = diversity_loss(updated)
             cls_loss = self.classification_loss(updated)

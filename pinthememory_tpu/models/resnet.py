@@ -34,6 +34,7 @@ from pinthememory_tpu.models.layers import (
     apply_iw_hook,
     batch_norm,
     conv2d,
+    use_block_remat,
     use_std_stem,
 )
 from pinthememory_tpu.ops.pool import max_pool_3x3_s2
@@ -151,12 +152,20 @@ class Stage(nn.Module):
             if self.block_cls is Bottleneck:
                 kwargs = dict(groups=self.groups, base_width=self.base_width,
                               stride_on_conv1=self.stride_on_conv1 and i == 0)
-            x = self.block_cls(
+            iw = self.iw if i == self.num_blocks - 1 else 0
+            # per-block rematerialization (train only): save block inputs,
+            # recompute the conv/BN/relu chain in the backward instead of
+            # storing its transposed/padded activations.  Whitening blocks
+            # (iw != 0) append taps and are never wrapped.
+            cls = self.block_cls
+            if train and iw == 0 and use_block_remat():
+                cls = nn.remat(cls, static_argnums=(3,))
+            x = cls(
                 planes=self.planes,
                 stride=self.stride if i == 0 else 1,
                 dilation=self.dilation,
                 has_downsample=needs_ds and i == 0,
-                iw=self.iw if i == self.num_blocks - 1 else 0,
+                iw=iw,
                 dtype=self.dtype,
                 name=f"block{i}",
                 **kwargs,
