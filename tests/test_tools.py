@@ -136,3 +136,21 @@ def test_exp_dir_layout_matches_reference(tmp_path):
     assert parts[2] == time.strftime("%m_%d_%H")
     rel_tb = os.path.relpath(log.tb_dir, str(tmp_path / "tb"))
     assert rel_tb.split(os.sep)[:2] == ["0707", "myexp"], rel_tb
+
+
+def test_acceptance_selftest_pooling(capsys):
+    """The one-command mIoU acceptance harness (tools/acceptance.py,
+    VERDICT r4 #2) runs end-to-end in selftest mode: real reference model,
+    converted weights, synthetic images, BOTH eval chains, delta within the
+    0.2 acceptance band."""
+    import json
+
+    from pinthememory_tpu.tools.acceptance import main as acceptance_main
+
+    acceptance_main(["--selftest", "--selftest_images", "1",
+                     "--scales", "1.0", "--protocols", "pooling"])
+    out = [l for l in capsys.readouterr().out.splitlines()
+           if l.startswith("{")]
+    row = json.loads(out[-1])
+    assert row["protocol"] == "pooling" and row["pass"] is True
+    assert abs(row["delta"]) <= 0.2
