@@ -218,6 +218,13 @@ def main():
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     ap.add_argument("--scales", default="0.5,1.0,2.0")
     ap.add_argument("--no_flip", action="store_true")
+    ap.add_argument("--no_aot", action="store_true",
+                    help="disable the persistent compiled-executable cache "
+                         "(utils/aotcache.py; warm starts then re-trace)")
+    ap.add_argument("--ctx_weights", action="store_true",
+                    help="thread weights as program arguments: weight-free "
+                         "AOT executables and the fastest warm start, at a "
+                         "measured -3%% throughput (BASELINE.md 5d)")
     ap.add_argument("--stream_tiles", type=int, default=0,
                     help="stream tiles through the model in chunks of N, "
                          "accumulating into the merged map (drops the tile-"
@@ -237,18 +244,52 @@ def main():
 
     model, variables, m_items = build(args.dtype, 768)
 
-    def apply_fn(tiles):
-        out = model.apply(variables, tiles, None, m_items, train=False, with_aux=False)
-        return out["main_out"]
+    # Two weight-binding modes, both measured (BASELINE.md 5d):
+    # - closure (default): weights are jit constants -- XLA folds them into
+    #   the programs (3.59 img/s); AOT-cached executables embed them, so a
+    #   warm load re-uploads ~constants (fast on PCIe, tunnel-variable here)
+    # - ctx (--ctx_weights): weights are program ARGUMENTS -- executables
+    #   are weight-free and checkpoint-independent, warm start is fastest
+    #   (24 s here), at a measured -3% throughput (3.48) from the lost
+    #   constant folding
+    if args.ctx_weights:
+        ctx = {"v": variables, "m": m_items}
 
-    def apply_low_fn(tiles):
-        out = model.apply(variables, tiles, None, m_items, train=False, with_aux=False)
-        return out["low_out"]
+        def apply_fn(c, tiles):
+            out = model.apply(c["v"], tiles, None, c["m"],
+                              train=False, with_aux=False)
+            return out["main_out"]
+
+        def apply_low_fn(c, tiles):
+            out = model.apply(c["v"], tiles, None, c["m"],
+                              train=False, with_aux=False)
+            return out["low_out"]
+    else:
+        ctx = None
+
+        def apply_fn(tiles):
+            out = model.apply(variables, tiles, None, m_items,
+                              train=False, with_aux=False)
+            return out["main_out"]
+
+        def apply_low_fn(tiles):
+            out = model.apply(variables, tiles, None, m_items,
+                              train=False, with_aux=False)
+            return out["low_out"]
 
     scale_batch = None
     if args.scale_batch:
         scale_batch = {float(k): int(v) for k, v in
                        (kv.split(":") for kv in args.scale_batch.split(","))}
+
+    # persistent executable cache: warm starts skip tracing+compiling the
+    # six tile programs.  Bench weights are a pure function of the fixed
+    # init seeds + code (code/jax/device live in the cache's package
+    # digest), so the recipe tag is a valid weights digest in closure mode
+    aot = None
+    if not args.no_aot:
+        mode = "ctx" if args.ctx_weights else "closure-init-seed0"
+        aot = f"{mode}-{args.dtype}"
 
     ev = SlidingEvaluator(
         apply_fn,
@@ -259,17 +300,22 @@ def main():
         apply_low_fn=apply_low_fn if args.fast_merge else None,
         scale_batch=scale_batch,
         stream_tiles=args.stream_tiles,
+        aot=aot,
+        ctx=ctx,
     )
 
     rng = np.random.default_rng(0)
     img = rng.integers(0, 255, (args.batch, args.height, args.width, 3),
                        dtype=np.uint8)
 
-    # warmup: compiles one program per (scale, size)
+    # warmup: compiles (or AOT-loads) one program per (scale, size)
     t0 = time.time()
     pred = np.asarray(ev.predict_batch_device(img))
-    print(f"# warmup (compile) {time.time() - t0:.1f}s, pred shape {pred.shape}",
-          file=sys.stderr)
+    aot_note = ""
+    if ev._aot is not None:
+        aot_note = f" (aot hits {ev._aot.hits} misses {ev._aot.misses})"
+    print(f"# warmup (compile) {time.time() - t0:.1f}s{aot_note}, "
+          f"pred shape {pred.shape}", file=sys.stderr)
 
     # pre-generate inputs so host RNG doesn't pollute the measurement.  The
     # timed loop is the streaming-eval pipeline: upload -> scale/flip/tile/

@@ -46,6 +46,15 @@ def build_parser():
     p.add_argument("--no_flip", action="store_true")
     p.add_argument("--crop_size", type=int, default=768)
     p.add_argument("--sliding_overlap", type=float, default=1 / 3)
+    p.add_argument("--no_aot", action="store_true",
+                   help="disable the persistent compiled-executable cache "
+                        "(utils/aotcache.py); warm starts then re-trace + "
+                        "re-compile every tile program")
+    p.add_argument("--ctx_weights", action="store_true",
+                   help="thread model weights as program arguments: AOT "
+                        "executables become checkpoint-independent and warm "
+                        "start fastest, at a measured -3%% throughput "
+                        "(BASELINE.md 5d)")
     p.add_argument("--dump_images", action="store_true")
     p.add_argument("--results_dir", type=str, default="./eval_results")
     p.add_argument("--fast_merge", action="store_true",
@@ -199,28 +208,66 @@ def main(argv=None):
             m_items = state.m_items
             print(f"restored {args.snapshot}: {meta}")
 
-    def apply_fn(tiles):
-        out = model.apply(variables, tiles, None, m_items, train=False, with_aux=False)
-        return out["main_out"]
+    # closure mode (default): weights are jit constants, +3% throughput
+    # from XLA constant folding; --ctx_weights threads them as program
+    # ARGUMENTS instead -- AOT executables carry no weights and survive
+    # checkpoint changes, warm start is fastest (BASELINE.md 5d)
+    if args.ctx_weights:
+        ctx = {"v": variables, "m": m_items}
 
-    def apply_low_fn(tiles):
-        out = model.apply(variables, tiles, None, m_items, train=False, with_aux=False)
-        return out["low_out"]
+        def apply_fn(c, tiles):
+            out = model.apply(c["v"], tiles, None, c["m"],
+                              train=False, with_aux=False)
+            return out["main_out"]
+
+        def apply_low_fn(c, tiles):
+            out = model.apply(c["v"], tiles, None, c["m"],
+                              train=False, with_aux=False)
+            return out["low_out"]
+    else:
+        ctx = None
+
+        def apply_fn(tiles):
+            out = model.apply(variables, tiles, None, m_items,
+                              train=False, with_aux=False)
+            return out["main_out"]
+
+        def apply_low_fn(tiles):
+            out = model.apply(variables, tiles, None, m_items,
+                              train=False, with_aux=False)
+            return out["low_out"]
 
     scales = tuple(float(s) for s in args.scales.split(","))
     scale_batch = None
     if args.scale_batch:
         scale_batch = {float(k): int(v) for k, v in
                        (kv.split(":") for kv in args.scale_batch.split(","))}
+    aot = None
+    if not args.no_aot:
+        # the tag covers the non-shape config constants that trace into
+        # the programs; in closure mode the weights are baked into the
+        # executables, so the snapshot FILE digest (local disk -- never
+        # pull params back through the device link) must join the key
+        cfg_tag = (f"{args.arch}_m{int(args.memory)}_{args.model_dtype}"
+                   f"_wt{''.join(map(str, args.wt_layer))}"
+                   f"_slot{args.mem_slot}x{args.mem_dim}"
+                   f"_t{args.mem_temp}_ap{int(args.fixed_aspp_pool)}")
+        if args.ctx_weights:
+            aot = cfg_tag
+        else:
+            from pinthememory_tpu.utils.aotcache import snapshot_digest
+
+            aot = snapshot_digest(args.snapshot, extra=cfg_tag)
     if args.inference_mode == "sliding":
         ev = SlidingEvaluator(
             apply_fn, scales=scales, flip=not args.no_flip,
             crop_size=args.crop_size, overlap=args.sliding_overlap,
             apply_low_fn=apply_low_fn if args.fast_merge else None,
             scale_batch=scale_batch, count_mode=args.merge_count,
-            stream_tiles=args.stream_tiles)
+            stream_tiles=args.stream_tiles, aot=aot, ctx=ctx)
     else:
-        ev = PoolingEvaluator(apply_fn, scales=scales, flip=not args.no_flip)
+        ev = PoolingEvaluator(apply_fn, scales=scales, flip=not args.no_flip,
+                              aot=aot, ctx=ctx)
 
     cfg = Config(model=mc, data=DataConfig(dataset_root=args.dataset_root))
     if args.video_folder:

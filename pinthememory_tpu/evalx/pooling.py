@@ -34,12 +34,32 @@ class PoolingEvaluator:
         num_classes: int = 19,
         scales: Sequence[float] = (1.0,),
         flip: bool = True,
+        aot: str | None = None,
+        ctx=None,
     ):
         self.apply_fn = apply_fn
         self.num_classes = num_classes
         self.scales = tuple(scales)
         self.flip = flip
         self._programs: dict = {}
+        # ctx mode + persistent executable cache: see SlidingEvaluator --
+        # ctx threads the model variables as program INPUTS so cached
+        # executables carry no weight constants
+        self.ctx = ctx
+        self._aot = None
+        if aot is not None:
+            from pinthememory_tpu.utils.aotcache import AotCache
+
+            self._aot = AotCache(f"pooling_f{int(flip)}_w{aot}")
+
+    def _maybe_aot(self, jitted_fn, key: str):
+        return self._aot.wrap(jitted_fn, key) if self._aot is not None else jitted_fn
+
+    def _apply(self, ctx, x):
+        return self.apply_fn(ctx, x) if self.ctx is not None else self.apply_fn(x)
+
+    def _ctx_arg(self):
+        return self.ctx if self.ctx is not None else ()
 
     def _program(self, img_h: int, img_w: int, scale: float):
         key = (img_h, img_w, scale)
@@ -48,17 +68,18 @@ class PoolingEvaluator:
         sh, sw = int(img_h * scale), int(img_w * scale)
 
         @jax.jit
-        def run(raw_img: jnp.ndarray, do_flip: jnp.ndarray):
+        def run(ctx, raw_img: jnp.ndarray, do_flip: jnp.ndarray):
             img = resize_pil_bicubic(raw_img.astype(jnp.float32), (sh, sw))
             img = jnp.where(do_flip, img[:, ::-1, :], img)
             img = normalize_image(img)
-            logits = self.apply_fn(img[None])[0]
+            logits = self._apply(ctx, img[None])[0]
             logits = resize_bilinear_half_pixel(
                 logits.astype(jnp.float32), (img_h, img_w)
             )
             probs = jax.nn.softmax(logits, axis=-1)
             return jnp.where(do_flip, probs[:, ::-1, :], probs)
 
+        run = self._maybe_aot(run, f"single_{img_h}x{img_w}_s{scale}")
         self._programs[key] = run
         return run
 
@@ -72,13 +93,13 @@ class PoolingEvaluator:
         with_flip = self.flip
 
         @jax.jit
-        def run(raws: jnp.ndarray):  # (N, H, W, 3) uint8/float
+        def run(ctx, raws: jnp.ndarray):  # (N, H, W, 3) uint8/float
             prep = jax.vmap(lambda r: normalize_image(
                 resize_pil_bicubic(r.astype(jnp.float32), (sh, sw))))
             imgs = prep(raws)
             x = (jnp.concatenate([imgs, imgs[:, :, ::-1, :]], axis=0)
                  if with_flip else imgs)
-            logits = self.apply_fn(x)
+            logits = self._apply(ctx, x)
             back = jax.vmap(lambda l: resize_bilinear_half_pixel(
                 l.astype(jnp.float32), (img_h, img_w)))
             probs = jax.nn.softmax(back(logits), axis=-1)
@@ -87,6 +108,7 @@ class PoolingEvaluator:
                 probs = 0.5 * (po + pf[:, :, ::-1, :])
             return probs
 
+        run = self._maybe_aot(run, f"batch{n}_{img_h}x{img_w}_s{scale}")
         self._programs[key] = run
         return run
 
@@ -103,7 +125,7 @@ class PoolingEvaluator:
         acc = None
         for scale in self.scales:
             run = self._batch_program(n, img_h, img_w, scale)
-            p = run(raws)
+            p = run(self._ctx_arg(), raws)
             acc = p if acc is None else acc + p
         return jnp.argmax(acc, axis=-1).astype(jnp.uint8)
 
@@ -115,7 +137,7 @@ class PoolingEvaluator:
         for scale in self.scales:
             run = self._program(img_h, img_w, scale)
             for f in ((False, True) if self.flip else (False,)):
-                p = run(raw, jnp.asarray(f))
+                p = run(self._ctx_arg(), raw, jnp.asarray(f))
                 acc = p if acc is None else acc + p
                 n += 1
         return acc / n

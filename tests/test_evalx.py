@@ -342,3 +342,51 @@ def test_stream_tiles_matches_segment_merge():
     np.testing.assert_allclose(la, lb, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(a.predict_batch_device(raws)),
                                   np.asarray(b.predict_batch_device(raws)))
+
+
+def test_ctx_mode_matches_closure_mode():
+    """ctx-threaded weights (program arguments) produce exactly the
+    closure-mode predictions."""
+    rng = np.random.default_rng(21)
+    raws = rng.integers(0, 255, (2, 64, 96, 3), dtype=np.uint8)
+    w = jnp.asarray(rng.standard_normal((3, 19)).astype(np.float32))
+
+    closure = SlidingEvaluator(lambda t: t @ w, crop_size=32, overlap=1 / 3,
+                               scales=(0.5, 1.0), flip=True)
+    ctxmode = SlidingEvaluator(lambda c, t: t @ c["w"], crop_size=32,
+                               overlap=1 / 3, scales=(0.5, 1.0), flip=True,
+                               ctx={"w": w})
+    np.testing.assert_array_equal(
+        np.asarray(closure.predict_batch_device(jnp.asarray(raws))),
+        np.asarray(ctxmode.predict_batch_device(jnp.asarray(raws))))
+    np.testing.assert_array_equal(
+        np.asarray(closure.predict(raws[0])),
+        np.asarray(ctxmode.predict(raws[0])))
+
+
+def test_aot_cache_roundtrip(tmp_path, monkeypatch):
+    """The persistent executable cache: a fresh evaluator loads the cached
+    executable (hit) and produces identical predictions; NEW weights through
+    the same cached executable change the output (weights are inputs, not
+    baked constants)."""
+    monkeypatch.setenv("PINMEM_AOT_CACHE", str(tmp_path))
+    rng = np.random.default_rng(22)
+    raws = rng.integers(0, 255, (2, 64, 96, 3), dtype=np.uint8)
+    w1 = jnp.asarray(rng.standard_normal((3, 19)).astype(np.float32))
+    w2 = jnp.asarray(rng.standard_normal((3, 19)).astype(np.float32))
+    kw = dict(crop_size=32, overlap=1 / 3, scales=(1.0,), flip=True,
+              aot="test")
+
+    ev1 = SlidingEvaluator(lambda c, t: t @ c["w"], ctx={"w": w1}, **kw)
+    a = np.asarray(ev1.predict_batch_device(jnp.asarray(raws)))
+    assert ev1._aot.misses >= 1 and ev1._aot.hits == 0
+
+    ev2 = SlidingEvaluator(lambda c, t: t @ c["w"], ctx={"w": w1}, **kw)
+    b = np.asarray(ev2.predict_batch_device(jnp.asarray(raws)))
+    assert ev2._aot.hits >= 1 and ev2._aot.misses == 0
+    np.testing.assert_array_equal(a, b)
+
+    ev3 = SlidingEvaluator(lambda c, t: t @ c["w"], ctx={"w": w2}, **kw)
+    c = np.asarray(ev3.predict_batch_device(jnp.asarray(raws)))
+    assert ev3._aot.hits >= 1  # same executable...
+    assert (a != c).any()      # ...different weights, different output
