@@ -129,6 +129,12 @@ class TrainConfig:
     # at the end): save a 'last' checkpoint every N epochs so preemptible
     # runs can resume
     snapshot_every: int = 0
+    # beyond-parity: save a resumable checkpoint every N STEPS (0 = off).
+    # The saved meta carries the intra-epoch position and host rng states,
+    # so a preempted run resumes mid-epoch on the exact trajectory of an
+    # unkilled run (the reference can only restart from an epoch boundary,
+    # utils/misc.py:175-247)
+    snapshot_interval: int = 0
     # --epoch_per_val: declared but dead in the reference (train.py:1174);
     # functional here -- validate every N epochs (0 = end only)
     epoch_per_val: int = 0

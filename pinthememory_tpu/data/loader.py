@@ -137,6 +137,9 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.worker_processes = worker_processes
+        # one-shot batch skip for mid-epoch resume (train/cli.py): the next
+        # __iter__ drops this many leading batches WITHOUT loading them
+        self.skip_next = 0
 
     def __len__(self):
         n = len(self.sampler)
@@ -150,6 +153,9 @@ class DataLoader:
         ]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
+        if self.skip_next:
+            batches = batches[self.skip_next:]
+            self.skip_next = 0
         return batches
 
     def __iter__(self) -> Iterator:

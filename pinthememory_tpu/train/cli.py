@@ -187,6 +187,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--snapshot_every", type=int, default=0,
                    help="save a 'last' checkpoint every N epochs (0 = only "
                         "at the end, the reference behavior)")
+    p.add_argument("--snapshot_interval", type=int, default=0,
+                   help="save a mid-epoch resumable checkpoint every N "
+                        "steps (0 = off); resume with --snapshot <file> "
+                        "--restore_optimizer continues the exact unkilled "
+                        "trajectory (intra-epoch position + rng states)")
     p.add_argument("--model_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--spatial", type=int, default=1,
@@ -299,6 +304,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             cls_wt_loss=args.cls_wt_loss, jointwtborder=args.jointwtborder,
             wt_bound=args.wt_bound, test_mode=args.test_mode, seed=args.seed,
             snapshot_every=args.snapshot_every,
+            snapshot_interval=args.snapshot_interval,
             epoch_per_val=int(args.epoch_per_val or 0),
             spatial=max(args.spatial, 1),
             batch_weighting=args.batch_weighting,
@@ -434,6 +440,8 @@ class Trainer:
                 f"restored torch optimizer state: step={count} epoch={epoch} "
                 f"mean_iu={mean_iu:.4f}")
 
+        self._resume_iter = 0
+        self._resume_host = None  # (rng key data, np_rng state, inner_lr)
         if resume_native:
             # resume a native msgpack checkpoint; --restore_optimizer keeps
             # opt_state/step (reference: optimizer.py:45-56, train.py:111-118)
@@ -443,6 +451,12 @@ class Trainer:
             if cfg.restore_optimizer:
                 self.state = loaded
                 self._resume_epoch = int(meta.get("epoch", 0))
+                # mid-epoch resume (snapshot_interval saves): restore the
+                # intra-epoch position and the host-side rng states so the
+                # continued run IS the unkilled run's trajectory
+                self._resume_iter = int(meta.get("iter_in_epoch", 0))
+                if "host_rng" in meta:
+                    self._resume_host = meta["host_rng"]
             else:
                 self.state = self.state.replace(
                     params=loaded.params, batch_stats=loaded.batch_stats,
@@ -489,11 +503,16 @@ class Trainer:
         self.epoch = self._resume_epoch
         self.rng = jax.random.PRNGKey(cfg.train.seed + 1)
         self.np_rng = np.random.default_rng(cfg.train.seed + 2)
+        if self._resume_host is not None:
+            key, np_state, inner = self._resume_host
+            self.rng = jnp.asarray(np.asarray(key, np.uint32))
+            self.np_rng.bit_generator.state = np_state
+            self._resume_inner_lr = float(inner)
         # image_uniform_sampling concatenates domains with no leading domain
         # axis, so episode logic sees a single mixed domain
         self.num_domains = (1 if cfg.data.image_uniform_sampling
                             else len(cfg.data.dataset))
-        self.inner_lr = cfg.train.inner_lr
+        self.inner_lr = getattr(self, "_resume_inner_lr", cfg.train.inner_lr)
 
     # -- memory prototype initialization (train.py:1000-1042) -------------
     def memory_initialize(self):
@@ -657,6 +676,8 @@ class Trainer:
             consumed, so the transfer rides under the step's compute instead
             of serializing with it.  rng/meta-split draws stay in batch
             order, so the data stream is unchanged."""
+            import copy as _copy
+
             pending = None
             for batch in self.train_loader:
                 self.rng, sub = jax.random.split(self.rng)
@@ -670,17 +691,42 @@ class Trainer:
                     np_batch["image"] = select_meta_images(np_batch["image"], te)
                 if np_batch["image"].ndim == 4:  # single domain -> add D axis
                     np_batch = {k: v[:, None] for k, v in np_batch.items()}
-                jbatch = {k: jax.device_put(np.ascontiguousarray(v))
-                          for k, v in np_batch.items()}
-                item = (batch, jbatch, sub, mldg_now, tr, te)
+                if jax.process_count() > 1:
+                    # multi-host: each process contributes its loader shard
+                    # of the GLOBAL batch (jax.make_array_from_process_local
+                    # _data inside device_put_batch)
+                    from pinthememory_tpu.parallel.mesh import device_put_batch
+
+                    jbatch = device_put_batch(self.mesh, np_batch)
+                else:
+                    jbatch = {k: jax.device_put(np.ascontiguousarray(v))
+                              for k, v in np_batch.items()}
+                # host-rng snapshot AFTER this batch's draws: this is the
+                # state a mid-epoch resume needs to continue at batch i+1
+                # (the lag-one prefetch means self.rng at consumer time has
+                # already advanced past the NEXT batch's draw)
+                snap = (np.asarray(self.rng).tolist(),
+                        _copy.deepcopy(self.np_rng.bit_generator.state))
+                item = (batch, jbatch, sub, mldg_now, tr, te, snap)
                 if pending is not None:
                     yield pending
                 pending = item
             if pending is not None:
                 yield pending
 
-        for i, (batch, jbatch, sub, mldg_now, tr, te) in enumerate(
-                prepared_batches()):
+        # mid-epoch resume: the restored snapshot was taken after batch
+        # (skip-1); the loader drops those indices WITHOUT loading them and
+        # the restored host-rng states make the remaining draws identical
+        # to the unkilled run's
+        skip = self._resume_iter
+        self._resume_iter = 0
+        if skip:
+            self.train_loader.skip_next = skip
+            self.log.info(f"mid-epoch resume: skipping {skip} batches of "
+                          f"epoch {self.epoch}")
+
+        for i, (batch, jbatch, sub, mldg_now, tr, te, snap) in enumerate(
+                prepared_batches(), start=skip):
             if step_no >= cfg.train.max_iter:
                 return False
             step_no += 1
@@ -711,6 +757,16 @@ class Trainer:
                 # inner_lr tracks lr/4 (train.py:625-626); host step mirror
                 # avoids a device sync here
                 self.inner_lr = float(self.lr_fn(step_no)) / 4
+
+            if (cfg.train.snapshot_interval
+                    and step_no % cfg.train.snapshot_interval == 0):
+                # preemption insurance: resumable mid-epoch checkpoint
+                # (epoch + intra-epoch position + host rng states)
+                self.ckpt_mgr.save_last(
+                    self.state, self.epoch,
+                    extra_meta={"iter_in_epoch": i + 1,
+                                "host_rng": [snap[0], snap[1],
+                                             float(self.inner_lr)]})
 
             if i % 50 == 49 or (cfg.train.test_mode and i == 0):
                 lr = float(self.lr_fn(step_no))
@@ -873,8 +929,15 @@ class Trainer:
             if (cfg.train.snapshot_every
                     and self.epoch % cfg.train.snapshot_every == 0):
                 # mid-run insurance for preemptible runs (beyond parity --
-                # the reference snapshots only at max_epoch, train.py:186-191)
-                self.ckpt_mgr.save_last(self.state, self.epoch)
+                # the reference snapshots only at max_epoch, train.py:186-191);
+                # host rng rides along so the resumed trajectory matches the
+                # unkilled run across the epoch boundary
+                self.ckpt_mgr.save_last(
+                    self.state, self.epoch,
+                    extra_meta={"iter_in_epoch": 0,
+                                "host_rng": [np.asarray(self.rng).tolist(),
+                                             self.np_rng.bit_generator.state,
+                                             float(self.inner_lr)]})
             if cfg.train.test_mode:
                 self.validate(max_batches=10)
                 break

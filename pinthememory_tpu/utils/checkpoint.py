@@ -27,11 +27,16 @@ def save_state(path: str, state: Any, meta: dict | None = None) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     state = jax.device_get(state)
     payload = flax.serialization.to_bytes(state)
-    with open(path, "wb") as f:
+    # atomic writes: a preemption mid-save must never leave a torn
+    # checkpoint (the whole point of snapshot_interval saves)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(payload)
+    os.replace(tmp, path)
     if meta is not None:
-        with open(path + ".json", "w") as f:
+        with open(tmp, "w") as f:
             json.dump(meta, f, indent=1)
+        os.replace(tmp, path + ".json")
 
 
 def load_state(path: str, template: Any) -> tuple[Any, dict]:
@@ -45,19 +50,34 @@ def load_state(path: str, template: Any) -> tuple[Any, dict]:
 
 
 class CheckpointManager:
-    """last + best-per-dataset policy (utils/misc.py:175-247)."""
+    """last + best-per-dataset policy (utils/misc.py:175-247).
+
+    Multi-host: only process 0 writes (the reference's DDP rank gating);
+    best decisions stay consistent because the mIoU they use comes from the
+    globally-reduced confusion matrix (Trainer._global_hist).
+    """
 
     def __init__(self, ckpt_dir: str):
         self.ckpt_dir = ckpt_dir
         self.best: dict[str, float] = {}
         self._last_path: str | None = None
+        try:
+            self._is_main = jax.process_index() == 0
+        except Exception:
+            self._is_main = True
 
-    def save_last(self, state, epoch: int, dataset: str = "none", mean_iu: float | None = None):
+    def save_last(self, state, epoch: int, dataset: str = "none",
+                  mean_iu: float | None = None, extra_meta: dict | None = None):
+        if not self._is_main:
+            return None
         name = f"last_{dataset}_epoch_{epoch}"
         if mean_iu is not None:
             name += f"_mean-iu_{mean_iu:.5f}"
         path = os.path.join(self.ckpt_dir, name + ".msgpack")
-        save_state(path, state, {"epoch": epoch, "dataset": dataset, "mean_iu": mean_iu})
+        meta = {"epoch": epoch, "dataset": dataset, "mean_iu": mean_iu}
+        if extra_meta:
+            meta.update(extra_meta)
+        save_state(path, state, meta)
         # rotate the previous 'last' (utils/misc.py:175-247 keeps one); when
         # the new checkpoint resolves to the SAME path (save_last called
         # twice at one epoch, e.g. end-of-training), removing would delete
@@ -73,6 +93,8 @@ class CheckpointManager:
     def maybe_save_best(self, state, dataset: str, epoch: int, mean_iu: float):
         if mean_iu > self.best.get(dataset, -1.0):
             self.best[dataset] = mean_iu
+            if not self._is_main:
+                return None
             path = os.path.join(self.ckpt_dir, f"best_{dataset}.msgpack")
             save_state(path, state, {"epoch": epoch, "dataset": dataset, "mean_iu": mean_iu})
             return path
