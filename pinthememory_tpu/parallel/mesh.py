@@ -95,6 +95,32 @@ def batch_sharding(mesh: Mesh, batch: dict) -> dict:
     return specs
 
 
+def put_global(mesh: Mesh, value, spec: P):
+    """Place host data onto the mesh with ``spec``.
+
+    Single-process: plain ``device_put``.  Multi-host: each process holds
+    only ITS slice of the global array (a host-sharded loader batch, or a
+    full copy for replicated state), so the global array is assembled with
+    ``jax.make_array_from_process_local_data`` -- the SPMD contract the
+    reference met with one-process-per-GPU DDP (train.py:63-76)."""
+    sharding = NamedSharding(mesh, spec)
+    if getattr(value, "sharding", None) == sharding:
+        return value  # already placed (e.g. a prefetched batch)
+    if jax.process_count() > 1:
+        # NB: np.ascontiguousarray would silently promote 0-d to 1-d
+        arr = np.asarray(jax.device_get(value), order="C")
+        if sharding.is_fully_replicated:
+            # every process holds the full value (params, scalars): place a
+            # copy on each local device explicitly (the callback/
+            # process-local-data constructors mangle 0-d leaves)
+            dbs = [jax.device_put(arr, d)
+                   for d in sharding.addressable_devices]
+            return jax.make_array_from_single_device_arrays(
+                arr.shape, sharding, dbs)
+        return jax.make_array_from_process_local_data(sharding, arr)
+    return jax.device_put(value, sharding)
+
+
 def device_put_batch(mesh: Mesh, batch: dict) -> dict:
     specs = batch_sharding(mesh, batch)
     out = {}
@@ -102,14 +128,15 @@ def device_put_batch(mesh: Mesh, batch: dict) -> dict:
         if specs.get(k) is None or not hasattr(v, "ndim"):
             out[k] = v
         else:
-            out[k] = jax.device_put(v, NamedSharding(mesh, specs[k]))
+            out[k] = put_global(mesh, v, specs[k])
     return out
 
 
 def replicate_state(mesh: Mesh, state: Any) -> Any:
-    """Replicate params/opt state across the mesh."""
-    repl = NamedSharding(mesh, P())
-    return jax.device_put(state, repl)
+    """Replicate params/opt state across the mesh (every process holds the
+    full value, so the multi-host path is the replicated put_global)."""
+    return jax.tree_util.tree_map(
+        lambda a: put_global(mesh, a, P()) if hasattr(a, "ndim") else a, state)
 
 
 def shard_train_step(step_fn: Callable, mesh: Mesh) -> Callable:

@@ -384,7 +384,15 @@ class Trainer:
             self.log.info(
                 f"mesh {dict(self.mesh.shape)} over {len(jax.devices())} "
                 f"devices (global batch {cfg.train.bs_mult * n_data})")
-        self.train_loader, self.val_loaders = setup_loaders(cfg, batch_scale=n_data)
+        # each process loads ITS share of the global batch (the loaders are
+        # host-sharded by ShardedSampler): global = bs_mult x data devices,
+        # local = global / process_count (train.py's bs-per-GPU semantics
+        # carried to SPMD multi-host)
+        nproc = jax.process_count()
+        assert n_data % nproc == 0, (
+            f"data axis {n_data} not divisible by {nproc} processes")
+        self.train_loader, self.val_loaders = setup_loaders(
+            cfg, batch_scale=n_data // nproc)
 
         self.model = build_model(cfg.model)
         key = jax.random.PRNGKey(cfg.train.seed)
@@ -520,21 +528,58 @@ class Trainer:
         M, D = cfg.model.memory.mem_slot, cfg.model.memory.mem_dim
         basket = jnp.zeros((M, D), jnp.float32)
         count = jnp.zeros((M,), jnp.float32)
-        variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
+        variables = self._local_vars()
+        m_items = self._local(self.state.m_items)
         epochs = 1 if cfg.train.test_mode else 2
         for ep in range(epochs):
             for it, batch in enumerate(self.train_loader):
                 img = batch["image"].reshape((-1,) + batch["image"].shape[-3:])
                 gts = batch["gts"].reshape((-1,) + batch["gts"].shape[-2:])
                 basket, count = self.mem_init_step(
-                    variables, self.state.m_items, jnp.asarray(img),
+                    variables, m_items, jnp.asarray(img),
                     jnp.asarray(gts), basket, count)
                 if cfg.train.test_mode and it >= 10:
                     break
+        # multi-host: every process accumulated only ITS loader shard --
+        # sum the (basket, count) statistics globally before normalizing,
+        # so m_items stays process-identical (the reference's per-rank
+        # memory drift, network/memory.py:206-257, fixed at init too)
+        basket = self._global_sum(basket)
+        count = self._global_sum(count)
         from pinthememory_tpu.train.loops import finalize_memory_init
 
-        self.state = self.state.replace(m_items=finalize_memory_init(basket, count))
+        new_m = finalize_memory_init(basket, count)
+        if jax.process_count() > 1 or self.mesh.shape["data"] > 1 \
+                or self.cfg.train.spatial > 1:
+            from pinthememory_tpu.parallel.mesh import replicate_state
+
+            new_m = replicate_state(self.mesh, new_m)
+        self.state = self.state.replace(m_items=new_m)
         self.log.info("memory prototypes initialized")
+
+    def _local(self, tree):
+        """Process-local copy of (possibly globally-replicated) arrays, for
+        per-host computations like validation and memory init.  Single
+        process: identity."""
+        if jax.process_count() == 1:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda a: np.asarray(jax.device_get(a))
+            if hasattr(a, "ndim") else a, tree)
+
+    def _local_vars(self):
+        return self._local({"params": self.state.params,
+                            "batch_stats": self.state.batch_stats})
+
+    @staticmethod
+    def _global_sum(x):
+        """Sum an array across processes (identity single-process)."""
+        if jax.process_count() == 1:
+            return x
+        from jax.experimental import multihost_utils
+
+        return jnp.sum(multihost_utils.process_allgather(jnp.asarray(x)),
+                       axis=0)
 
     def _wt_masks(self):
         """(mask, margin, num_remove) per whitened tap, or None."""
@@ -558,7 +603,7 @@ class Trainer:
             return
         for l in isw_layers:
             l.reset_mask_matrix()
-        variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
+        variables = self._local_vars()
         trials = 1 if cfg.train.test_mode else cfg.model.whitening.trials
         max_imgs = 10 if cfg.train.test_mode else 500
         for trial in range(trials):
@@ -567,10 +612,11 @@ class Trainer:
                 ds.joint_transform = jt.Compose([jt.Resize(cfg.train.crop_size)])
                 ds.set_epoch(trial)
                 n = min(len(ds), max_imgs)
+                m_local = self._local(self.state.m_items)
                 for i in range(n):
                     img_or, img_color, _img_geom, _ = ds[i]
                     vs = self.covstat_step(
-                        variables, self.state.m_items,
+                        variables, m_local,
                         jnp.asarray(img_color)[None], jnp.asarray(img_or)[None])
                     for l, v in zip(isw_layers, vs):
                         l.set_variance_of_covariance(np.asarray(v))
@@ -872,6 +918,11 @@ class Trainer:
         from pinthememory_tpu.evalx.sliding import normalize_image
 
         results = {}
+        # multi-host: each process validates its loader shard on a LOCAL
+        # copy of the replicated state (a global-array jit would have to
+        # run SPMD-synchronized across hosts for per-host batches)
+        eval_state = (self.state if jax.process_count() == 1
+                      else self._local(self.state))
         for name, loader in self.val_loaders.items():
             hist = None
             for bi, batch in enumerate(loader):
@@ -881,7 +932,7 @@ class Trainer:
                 img = img.astype(jnp.float32)
                 if img.ndim == 3:
                     img = img[None]
-                logits = self.eval_step(self.state, img)
+                logits = self.eval_step(eval_state, img)
                 pred = jnp.argmax(logits, -1)
                 h = confusion_matrix(pred, jnp.asarray(batch["gts"]), 19)
                 hist = h if hist is None else hist + h

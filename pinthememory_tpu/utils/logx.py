@@ -42,6 +42,15 @@ class ExperimentLogger:
     ``tb_path/<date>/<exp>/<MM_DD_HH>`` for TensorBoard."""
 
     def __init__(self, cfg, exp_dir: str | None = None):
+        # multi-host: per-rank log FILES, rank-0 console/TB/scalars
+        # (reference utils/misc.py:75-90: per-rank file + rank-0 console)
+        try:
+            import jax
+
+            self.proc = jax.process_index()
+            self._multi = jax.process_count() > 1
+        except Exception:
+            self.proc, self._multi = 0, False
         stamp = time.strftime("%m_%d_%H")
         self.exp_dir = exp_dir or os.path.join(cfg.ckpt, cfg.date, cfg.exp, stamp)
         tb_path = getattr(cfg, "tb_path", None)
@@ -57,34 +66,42 @@ class ExperimentLogger:
         if not self.logger.handlers:
             self.logger.setLevel(logging.INFO)
             fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
-            fh = logging.FileHandler(os.path.join(self.exp_dir, "log.txt"))
+            log_name = (f"log_rank{self.proc}.txt" if self._multi
+                        else "log.txt")
+            fh = logging.FileHandler(os.path.join(self.exp_dir, log_name))
             fh.setFormatter(fmt)
-            sh = logging.StreamHandler()
-            sh.setFormatter(fmt)
             self.logger.addHandler(fh)
-            self.logger.addHandler(sh)
+            if self.proc == 0:
+                sh = logging.StreamHandler()
+                sh.setFormatter(fmt)
+                self.logger.addHandler(sh)
 
-        self._scalars = open(os.path.join(self.exp_dir, "scalars.jsonl"), "a")
+        self._scalars = (open(os.path.join(self.exp_dir, "scalars.jsonl"), "a")
+                         if self.proc == 0 else None)
         self._tb = None
-        try:
-            from torch.utils.tensorboard import SummaryWriter  # optional
+        if self.proc == 0:
+            try:
+                from torch.utils.tensorboard import SummaryWriter  # optional
 
-            # --tb_tag: run comment appended to the TB dir (utils/misc.py:128
-            # passes it as SummaryWriter(comment=...))
-            tag = getattr(cfg, "tb_tag", "") or ""
-            self._tb = SummaryWriter(self.tb_dir + tag)
-        except Exception:
-            pass
+                # --tb_tag: run comment appended to the TB dir
+                # (utils/misc.py:128 passes it as SummaryWriter(comment=...))
+                tag = getattr(cfg, "tb_tag", "") or ""
+                self._tb = SummaryWriter(self.tb_dir + tag)
+            except Exception:
+                pass
         self.info(f"run tag: {exp_name_from_config(cfg)}")
 
-        cfg_dict = asdict(cfg) if is_dataclass(cfg) else dict(cfg)
-        with open(os.path.join(self.exp_dir, "config.json"), "w") as f:
-            json.dump(cfg_dict, f, indent=1, default=str)
+        if self.proc == 0:
+            cfg_dict = asdict(cfg) if is_dataclass(cfg) else dict(cfg)
+            with open(os.path.join(self.exp_dir, "config.json"), "w") as f:
+                json.dump(cfg_dict, f, indent=1, default=str)
 
     def info(self, msg: str):
         self.logger.info(msg)
 
     def scalars(self, step: int, values: dict, prefix: str = "loss"):
+        if self._scalars is None:  # non-zero rank in a multi-host job
+            return
         rec = {"step": step, **{f"{prefix}/{k}": _num(v) for k, v in values.items()}}
         self._scalars.write(json.dumps(rec) + "\n")
         self._scalars.flush()
