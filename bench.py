@@ -108,14 +108,29 @@ def bench_train(args):
         {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, hw, hw, 3)),
         jnp.zeros((1, hw, hw), jnp.int32), m_items, rng=jax.random.PRNGKey(2))
     state, tx = create_train_state(cfg, variables, m_items)
+    # persistent executable cache for the episode: train steps take params
+    # as ARGUMENTS, so the cached executable is naturally weight-free; the
+    # config repr keys the constants that trace into the program
+    cache = None
+    if not getattr(args, "no_aot", False):
+        import hashlib
+
+        from pinthememory_tpu.utils.aotcache import AotCache
+
+        cache = AotCache(
+            "trainstep-" + hashlib.sha1(repr(cfg).encode()).hexdigest()[:12])
     if args.episode == "agg":
         agg_step = make_train_step_agg(model, cfg, tx)
+        agg_run = cache.wrap(agg_step, "agg") if cache else agg_step
 
         def step(state, batch, rng, tr, te, inner_lr):
-            return agg_step(state, batch, rng)
+            return agg_run(state, batch, rng)
         step.lower = lambda s, b, r, tr, te, il: agg_step.lower(s, b, r)
     else:
-        step = make_train_step_mldg(model, cfg, tx)
+        raw_step = make_train_step_mldg(model, cfg, tx)
+        step = (cache.wrap(raw_step, "mldg", static_argnums=(3, 4))
+                if cache else raw_step)
+        step.lower = raw_step.lower  # --mfu cost analysis needs the jit
 
     rng = np.random.default_rng(0)
     batch = {
@@ -158,7 +173,9 @@ def bench_train(args):
     # the metrics scalar depends on the full step, so fetching it is an
     # honest sync with negligible transfer cost
     sync_total(m)
-    print(f"# train warmup (compile) {time.time() - t0:.1f}s", file=sys.stderr)
+    note = (f" (aot hits {cache.hits} misses {cache.misses})" if cache else "")
+    print(f"# train warmup (compile) {time.time() - t0:.1f}s{note}",
+          file=sys.stderr)
 
     best = float("inf")
     for _ in range(2):

@@ -121,16 +121,21 @@ class AotCache:
         h.update(repr(sig).encode())
         return os.path.join(self.cache_dir, h.hexdigest()[:24] + ".xbin")
 
-    def wrap(self, jitted_fn, key: str):
-        """Return a callable with the same positional-array signature.
+    def wrap(self, jitted_fn, key: str, static_argnums: tuple = ()):
+        """Return a callable with the same positional signature.
 
         On first call per argument signature: load the serialized
         executable if present, else lower+compile+serialize.  Subsequent
         calls dispatch straight into the compiled executable.
+        ``static_argnums`` marks positions the jitted function treats as
+        static -- they join the cache key by value, and are dropped when
+        invoking the compiled executable (jax.stages.Compiled takes only
+        the dynamic arguments).
         """
         from jax.experimental import serialize_executable as se
 
         compiled_by_sig: dict = {}
+        static_set = frozenset(static_argnums)
 
         def call(*args):
             # args may be pytrees (e.g. a ctx of model variables); the
@@ -139,9 +144,12 @@ class AotCache:
             # for single-device placement
             import jax
 
-            leaves, treedef = jax.tree_util.tree_flatten(args)
-            sig = (str(treedef),) + tuple(
+            dyn = tuple(a for i, a in enumerate(args) if i not in static_set)
+            statics = tuple(args[i] for i in sorted(static_set))
+            leaves, treedef = jax.tree_util.tree_flatten(dyn)
+            sig = (repr(statics), str(treedef)) + tuple(
                 (tuple(a.shape), str(a.dtype), str(getattr(a, "sharding", "")))
+                if hasattr(a, "shape") else ("pyleaf", repr(a))
                 for a in leaves)
             c = compiled_by_sig.get(sig)
             if c is None:
@@ -174,7 +182,33 @@ class AotCache:
                     with os.fdopen(fd, "wb") as f:
                         f.write(payload)
                     os.replace(tmp, path)
+                    self._evict()
                 compiled_by_sig[sig] = c
-            return c(*args)
+            return c(*dyn)
 
         return call
+
+    def _evict(self):
+        """LRU size cap: closure-mode executables embed the weights
+        (~0.4 GB each), so the cache is bounded (PINMEM_AOT_CACHE_GB,
+        default 10) by deleting least-recently-used entries."""
+        cap = float(os.environ.get("PINMEM_AOT_CACHE_GB", "10")) * 1e9
+        entries = []
+        total = 0
+        for name in os.listdir(self.cache_dir):
+            p = os.path.join(self.cache_dir, name)
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue
+            entries.append((st.st_atime, st.st_size, p))
+            total += st.st_size
+        entries.sort()
+        for _atime, size, p in entries:
+            if total <= cap:
+                break
+            try:
+                os.remove(p)
+                total -= size
+            except OSError:
+                pass
