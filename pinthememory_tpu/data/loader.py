@@ -83,14 +83,24 @@ class ConcatDataset:
 
 class ShardedSampler:
     """Epoch-seeded shuffled index sampler sharded over hosts
-    (datasets/sampler.py:43-110, pad mode)."""
+    (datasets/sampler.py:43-110, pad mode).
 
-    def __init__(self, dataset, shuffle=True, seed=0, num_shards=1, shard_id=0):
+    ``consecutive=True`` models the fork's ``consecutive_sample`` branch
+    (datasets/sampler.py:93-96): each shard takes a contiguous block of the
+    padded order instead of the default round-robin stride
+    (sampler.py:97-98).  Every reference call site passes False
+    (datasets/__init__.py:228,640,649), so this is dead code there; it is
+    modeled here for surface completeness.
+    """
+
+    def __init__(self, dataset, shuffle=True, seed=0, num_shards=1, shard_id=0,
+                 consecutive=False):
         self.dataset = dataset
         self.shuffle = shuffle
         self.seed = seed
         self.num_shards = num_shards
         self.shard_id = shard_id
+        self.consecutive = consecutive
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -105,6 +115,10 @@ class ShardedSampler:
         pad = (-len(order)) % self.num_shards
         if pad:
             order = np.concatenate([order, order[:pad]])
+        if self.consecutive:
+            per = len(order) // self.num_shards
+            lo = per * self.shard_id
+            return iter(order[lo : lo + per].tolist())
         return iter(order[self.shard_id :: self.num_shards].tolist())
 
     def __len__(self):

@@ -38,7 +38,17 @@ _PKG_DIGEST = None
 
 
 def package_digest() -> str:
-    """Digest of the package source + jax version + device topology."""
+    """Digest of the package source + jax version + device topology.
+
+    Hashes file CONTENT (not mtime): a git checkout / fresh clone touches
+    every mtime without changing a byte, and must not cold-start the cache.
+    ``data/`` is excluded -- it is host-side IO (loaders, transforms,
+    samplers) whose values enter programs as *arguments*, never as traced
+    constants.  ``tools/`` stays IN the digest: ``convert_torch`` maps
+    checkpoint files to parameter values, and closure-mode executables
+    embed those values while their key only covers the .pth file bytes
+    (``snapshot_digest``) -- a converter change must invalidate.
+    """
     global _PKG_DIGEST
     if _PKG_DIGEST is None:
         import glob
@@ -48,12 +58,15 @@ def package_digest() -> str:
         import pinthememory_tpu
 
         root = os.path.dirname(os.path.abspath(pinthememory_tpu.__file__))
+        skip = os.path.join(root, "data") + os.sep
         h = hashlib.sha1()
         for p in sorted(glob.glob(os.path.join(root, "**", "*.py"),
                                   recursive=True)):
-            st = os.stat(p)
-            h.update(p.encode())
-            h.update(str((st.st_size, st.st_mtime_ns)).encode())
+            if p.startswith(skip):
+                continue
+            h.update(os.path.relpath(p, root).encode())
+            with open(p, "rb") as f:
+                h.update(f.read())
         h.update(jax.__version__.encode())
         devs = jax.devices()
         h.update(f"{devs[0].device_kind}x{len(devs)}".encode())

@@ -57,6 +57,36 @@ def test_sharded_sampler_partitions():
     assert set(all_idx) == set(range(10))
 
 
+def test_sharded_sampler_modes_match_reference():
+    """Both subsample modes (strided default + the fork's dead
+    ``consecutive_sample`` branch, datasets/sampler.py:93-98) against the
+    ACTUAL reference sampler, on the deterministic identity order
+    (permutation=False) where the index streams must agree exactly."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_sampler", "/root/reference/datasets/sampler.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    ds = NullLoader(crop_size=8, length=10)
+    for consecutive in (False, True):
+        for shard in range(4):
+            theirs = list(ref.DistributedSampler(
+                ds, pad=True, consecutive_sample=consecutive,
+                permutation=False, num_replicas=4, rank=shard))
+            ours = list(ShardedSampler(ds, shuffle=False, num_shards=4,
+                                       shard_id=shard,
+                                       consecutive=consecutive))
+            assert ours == [int(i) for i in theirs], (consecutive, shard)
+    # shuffled consecutive mode still partitions the padded order
+    shards = [list(ShardedSampler(ds, shuffle=True, seed=1, num_shards=4,
+                                  shard_id=i, consecutive=True))
+              for i in range(4)]
+    assert all(len(s) == 3 for s in shards)
+    assert set(i for s in shards for i in s) == set(range(10))
+
+
 def test_setup_loaders_null():
     cfg = Config(
         train=TrainConfig(bs_mult=2, crop_size=32),

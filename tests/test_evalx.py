@@ -390,3 +390,42 @@ def test_aot_cache_roundtrip(tmp_path, monkeypatch):
     c = np.asarray(ev3.predict_batch_device(jnp.asarray(raws)))
     assert ev3._aot.hits >= 1  # same executable...
     assert (a != c).any()      # ...different weights, different output
+
+
+def test_aot_package_digest_semantics(tmp_path, monkeypatch):
+    """The cache-key package digest hashes source CONTENT: a git checkout
+    that touches every mtime must not invalidate, a one-byte source edit
+    must, and host-side ``data/`` edits (loaders/transforms feed programs
+    through *arguments*) must not."""
+    import os
+    import shutil
+    import pinthememory_tpu
+    from pinthememory_tpu.utils import aotcache
+
+    root = tmp_path / "pkg"
+    (root / "models").mkdir(parents=True)
+    (root / "data").mkdir()
+    (root / "__init__.py").write_text("")
+    (root / "models" / "layers.py").write_text("A = 1\n")
+    (root / "data" / "loader.py").write_text("B = 1\n")
+
+    def digest():
+        aotcache._PKG_DIGEST = None
+        monkeypatch.setattr(pinthememory_tpu, "__file__",
+                            str(root / "__init__.py"))
+        try:
+            return aotcache.package_digest()
+        finally:
+            aotcache._PKG_DIGEST = None
+
+    d0 = digest()
+    # mtime churn, same bytes (fresh clone / branch switch)
+    os.utime(root / "models" / "layers.py", ns=(1, 1))
+    assert digest() == d0
+    # data/ edit: host-side only
+    (root / "data" / "loader.py").write_text("B = 2  # changed\n")
+    assert digest() == d0
+    # compute-path content edit
+    (root / "models" / "layers.py").write_text("A = 2\n")
+    assert digest() != d0
+    shutil.rmtree(root)
