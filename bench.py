@@ -120,15 +120,15 @@ def bench_train(args):
         cache = AotCache(
             "trainstep-" + hashlib.sha1(repr(cfg).encode()).hexdigest()[:12])
     if args.episode == "agg":
-        agg_step = make_train_step_agg(model, cfg, tx)
-        agg_run = cache.wrap(agg_step, "agg") if cache else agg_step
+        agg_step = make_train_step_agg(model, cfg, tx, donate=True)
+        agg_run = cache.wrap(agg_step, "agg-donate") if cache else agg_step
 
         def step(state, batch, rng, tr, te, inner_lr):
             return agg_run(state, batch, rng)
         step.lower = lambda s, b, r, tr, te, il: agg_step.lower(s, b, r)
     else:
-        raw_step = make_train_step_mldg(model, cfg, tx)
-        step = (cache.wrap(raw_step, "mldg", static_argnums=(3, 4))
+        raw_step = make_train_step_mldg(model, cfg, tx, donate=True)
+        step = (cache.wrap(raw_step, "mldg-donate", static_argnums=(3, 4))
                 if cache else raw_step)
         step.lower = raw_step.lower  # --mfu cost analysis needs the jit
 

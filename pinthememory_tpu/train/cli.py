@@ -472,8 +472,14 @@ class Trainer:
             self.log.info(f"resumed native snapshot {cfg.snapshot}: {meta}")
         if n_data > 1 or cfg.train.spatial > 1:
             self.state = replicate_state(self.mesh, self.state)
-        self.step_agg = make_train_step_agg(self.model, cfg, self.tx)
-        self.step_mldg = make_train_step_mldg(self.model, cfg, self.tx)
+        # donate=True: the run loop rebinds (state, m = step(state, ...)) and
+        # never touches the previous state again, so XLA aliases the params/
+        # momentum/stats buffers in place instead of double-buffering the
+        # training state and copying results out
+        self.step_agg = make_train_step_agg(self.model, cfg, self.tx,
+                                            donate=True)
+        self.step_mldg = make_train_step_mldg(self.model, cfg, self.tx,
+                                              donate=True)
         self.step_pd = None
         if cfg.train.per_domain:
             # robustnetver: unscaled SGD state (LR applied per-iteration
@@ -483,7 +489,8 @@ class Trainer:
 
             tx_pd = make_optimizer_unscaled(cfg.optim)
             self.state = self.state.replace(opt_state=tx_pd.init(self.state.params))
-            self.step_pd = make_train_step_per_domain(self.model, cfg, tx_pd)
+            self.step_pd = make_train_step_per_domain(self.model, cfg, tx_pd,
+                                                      donate=True)
         self.eval_step = make_eval_step(self.model, cfg)
         self.mem_init_step = make_memory_init_step(self.model)
         if n_data > 1 or cfg.train.spatial > 1:

@@ -90,15 +90,25 @@ def _select_domains(batch: dict, idx: tuple[int, ...]) -> dict:
     return out
 
 
-def make_train_step_agg(model, cfg: Config, tx) -> Callable:
+def make_train_step_agg(model, cfg: Config, tx, donate: bool = False) -> Callable:
     """Aggregation baseline: one CE step over the merged domain batch
     (train.py:634-729), optional in-graph memory write
-    (train_memory_agg, train.py:284-374)."""
+    (train_memory_agg, train.py:284-374).
+
+    ``donate=True`` donates the input ``state``'s buffers to the outputs
+    (XLA aliases params/opt-state/stats in place instead of allocating a
+    second copy of the training state and copying results into it).  The
+    caller must rebind -- ``state, m = step(state, ...)`` -- and never
+    touch the old state object again; the Trainer and bench do exactly
+    that.  Off by default so tests can replay one state through several
+    step calls.
+    """
 
     use_memory = cfg.model.memory.enabled
 
     @functools.partial(
-        jax.jit, static_argnames=("apply_wtloss", "reduce_border"))
+        jax.jit, static_argnames=("apply_wtloss", "reduce_border"),
+        donate_argnames=("state",) if donate else ())
     def step(state: TrainState, batch: dict, rng: jax.Array,
              wt_masks=None, apply_wtloss: bool = True,
              reduce_border: bool = False):
@@ -157,11 +167,12 @@ def make_train_step_agg(model, cfg: Config, tx) -> Callable:
     return step
 
 
-def make_train_step_mldg(model, cfg: Config, tx) -> Callable:
+def make_train_step_mldg(model, cfg: Config, tx, donate: bool = False) -> Callable:
     """MLDG episode, with or without memory (train.py:377-632).
 
     Returns ``step(state, batch, rng, train_idx, test_idx, inner_lr)`` where
     the index tuples are static per-call (compiled per split pattern).
+    ``donate``: see :func:`make_train_step_agg`.
     """
 
     use_memory = cfg.model.memory.enabled
@@ -170,6 +181,7 @@ def make_train_step_mldg(model, cfg: Config, tx) -> Callable:
         jax.jit,
         static_argnames=("train_idx", "test_idx", "apply_wtloss",
                          "reduce_border"),
+        donate_argnames=("state",) if donate else (),
     )
     def step(
         state: TrainState,
@@ -380,7 +392,8 @@ def select_meta_images(image, te: tuple[int, ...]):
     return image[:, np.arange(d), sel]
 
 
-def make_train_step_per_domain(model, cfg: Config, tx_unscaled) -> Callable:
+def make_train_step_per_domain(model, cfg: Config, tx_unscaled,
+                               donate: bool = False) -> Callable:
     """Per-domain episode (reference ``train_robustnetver``, train.py:729-845).
 
     Unreachable from the reference's ``do_epoch`` dispatch (SURVEY.md §2.1
@@ -400,7 +413,8 @@ def make_train_step_per_domain(model, cfg: Config, tx_unscaled) -> Callable:
     wt_w = cfg.model.whitening.wt_reg_weight
 
     @functools.partial(
-        jax.jit, static_argnames=("apply_wtloss", "reduce_border"))
+        jax.jit, static_argnames=("apply_wtloss", "reduce_border"),
+        donate_argnames=("state",) if donate else ())
     def step(state: TrainState, batch: dict, rng: jax.Array,
              wt_masks=None, apply_wtloss: bool = True,
              reduce_border: bool = False):

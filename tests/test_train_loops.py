@@ -87,6 +87,26 @@ def test_mldg_step_runs_and_decreases_loss(setup):
     assert losses[-1] < losses[0]
 
 
+def test_mldg_step_donated_matches_undonated(setup):
+    """donate=True (the Trainer/bench configuration) only changes buffer
+    assignment -- the donated episode must produce bit-identical state and
+    metrics to the default step.  The input state is deep-copied first:
+    donation invalidates the argument's buffers."""
+    cfg, model, state, tx, batch = setup
+    tr, te = (0,), (1,)
+    args = (batch, jax.random.PRNGKey(7), tr, te, jnp.float32(1e-3))
+
+    base_s, base_m = make_train_step_mldg(model, cfg, tx)(state, *args)
+    spare = jax.tree.map(jnp.copy, state)
+    don_s, don_m = make_train_step_mldg(model, cfg, tx, donate=True)(
+        spare, *args)
+
+    for a, b in zip(jax.tree_util.tree_leaves(base_s),
+                    jax.tree_util.tree_leaves(don_s)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(base_m["outer"]["total"]) == float(don_m["outer"]["total"])
+
+
 def test_meta_split_covers_all_domains():
     rng = np.random.default_rng(0)
     for d in (2, 3, 4):
